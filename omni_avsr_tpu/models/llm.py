@@ -1,0 +1,397 @@
+"""Decoder-only LLM (Llama-3.x / Qwen-2.5) with Omni-LoRA adapters.
+
+TPU-first re-design of the reference's `Omni_AVSR/Llama_LoRA.py` and
+`Omni_AVSR/Qwen_LoRA.py` (which subclass HF transformers internals):
+
+  - One unified implementation; family differences (attention bias, rope
+    scaling, norm eps) live in `LLMConfig`.
+  - Layers are stacked on a leading axis and executed with `lax.scan`
+    (fast compile, identical math) with optional per-layer remat.
+  - GQA is folded into the attention einsum — no materialised `repeat_kv`.
+  - The `modality` routing of task-specific LoRA
+    (`Llama_LoRA.py:124-169, 250-259`) is a *static* argument: each task
+    forward is traced with its adapter baked in, so XLA fuses the LoRA
+    matmuls into the projection epilogue.
+  - Decoding uses a static-shape KV cache (B, S_max, Hkv, D) updated with
+    `dynamic_update_slice` inside `lax.scan` — no DynamicCache, no shape
+    polymorphism.
+
+LoRA math (parity with `Llama_LoRA.py:246-262`):
+    q = Wq x + scaling * up_Q[mod](down_Q[mod](x)) [+ scaling * up_Qs(down_Qs(x))]
+    v = Wv x + scaling * up_V[mod](down_V[mod](x)) [+ ...]
+where scaling = ALPHA / RANK, bottleneck = round(hidden/RANK), and the V-up
+output dim is kv_dim-aware (hidden // v_out_divisor).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LLMConfig, LoRAConfig, MODALITIES
+from ..ops.attention import causal_mask, combine_masks, dot_product_attention
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, rope_cos_sin
+from .common import (
+    Params,
+    init_kaiming_linear,
+    init_linear,
+    init_rms_norm,
+    init_zeros_linear,
+    linear,
+    stack_layers,
+)
+
+IGNORE_INDEX = -100
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _init_lora_pair(rng: jax.Array, cfg: LLMConfig, dtype) -> Params:
+    """One LoRA adapter set: down_Q/up_Q/down_V/up_V.
+
+    down: zeros, up: kaiming_uniform(a=sqrt(5)) (`Llama_LoRA.py:189-192`).
+    """
+    lora = cfg.lora
+    assert lora is not None
+    h = cfg.hidden_size
+    r = lora.bottleneck(h)
+    v_out = h // lora.v_out_divisor
+    kq, kv = jax.random.split(rng)
+    return {
+        "down_q": init_zeros_linear(h, r, dtype),
+        "up_q": init_kaiming_linear(kq, r, h, dtype),
+        "down_v": init_zeros_linear(h, r, dtype),
+        "up_v": init_kaiming_linear(kv, r, v_out, dtype),
+    }
+
+
+def _init_layer(rng: jax.Array, cfg: LLMConfig, dtype) -> Params:
+    keys = jax.random.split(rng, 12)
+    h = cfg.hidden_size
+    bias = cfg.attention_bias
+    p: Params = {
+        "input_norm": init_rms_norm(h, dtype),
+        "post_attn_norm": init_rms_norm(h, dtype),
+        "attn": {
+            "q": init_linear(keys[0], h, cfg.q_dim, bias=bias, dtype=dtype),
+            "k": init_linear(keys[1], h, cfg.kv_dim, bias=bias, dtype=dtype),
+            "v": init_linear(keys[2], h, cfg.kv_dim, bias=bias, dtype=dtype),
+            "o": init_linear(keys[3], cfg.q_dim, h, bias=False, dtype=dtype),
+        },
+        "mlp": {
+            "gate": init_linear(keys[4], h, cfg.intermediate_size, bias=False, dtype=dtype),
+            "up": init_linear(keys[5], h, cfg.intermediate_size, bias=False, dtype=dtype),
+            "down": init_linear(keys[6], cfg.intermediate_size, h, bias=False, dtype=dtype),
+        },
+    }
+    if cfg.lora is not None:
+        if cfg.lora.task_specific:
+            p["lora"] = {
+                m: _init_lora_pair(keys[7 + i], cfg, dtype)
+                for i, m in enumerate(MODALITIES)
+            }
+            if cfg.lora.shared:
+                p["lora_shared"] = _init_lora_pair(keys[10], cfg, dtype)
+        else:
+            p["lora"] = _init_lora_pair(keys[7], cfg, dtype)
+    return p
+
+
+def init_llm(rng: jax.Array, cfg: LLMConfig, dtype=jnp.float32) -> Params:
+    """Random-init params (real runs load converted HF weights instead)."""
+    k_embed, k_layers, k_head = jax.random.split(rng, 3)
+    layer_keys = jax.random.split(k_layers, cfg.num_layers)
+    layers = stack_layers(tuple(_init_layer(k, cfg, dtype) for k in layer_keys))
+    params: Params = {
+        "embed": {
+            "w": jax.random.normal(k_embed, (cfg.vocab_size, cfg.hidden_size), dtype) * 0.02
+        },
+        "layers": layers,
+        "final_norm": init_rms_norm(cfg.hidden_size, dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {
+            "w": jax.random.normal(k_head, (cfg.hidden_size, cfg.vocab_size), dtype) * 0.02
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _lora_delta(x: jax.Array, adapter: Params, scaling: float) -> Tuple[jax.Array, jax.Array]:
+    dq = linear(linear(x, adapter["down_q"]), adapter["up_q"])
+    dv = linear(linear(x, adapter["down_v"]), adapter["up_v"])
+    return dq * scaling, dv * scaling
+
+
+def _attention_block(
+    layer: Params,
+    cfg: LLMConfig,
+    x: jax.Array,  # (B, T, H)
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: Optional[jax.Array],
+    modality: Optional[str],
+    cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+    cache_index: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
+    B, T, _ = x.shape
+    attn = layer["attn"]
+    q = linear(x, attn["q"])
+    k = linear(x, attn["k"])
+    v = linear(x, attn["v"])
+
+    if cfg.lora is not None:
+        scaling = cfg.lora.scaling
+        if cfg.lora.task_specific:
+            assert modality is not None, "task-specific LoRA needs a modality"
+            dq, dv = _lora_delta(x, layer["lora"][modality], scaling)
+            if cfg.lora.shared:
+                dqs, dvs = _lora_delta(x, layer["lora_shared"], scaling)
+                dq, dv = dq + dqs, dv + dvs
+        else:
+            dq, dv = _lora_delta(x, layer["lora"], scaling)
+        q = q + dq
+        # v_out may be smaller than kv_dim only through the divisor; for all
+        # published configs hidden//v_out_divisor == kv_dim.
+        v = v + dv
+
+    q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    q, k = apply_rope(q, k, cos, sin)
+
+    new_cache = None
+    if cache is not None:
+        ck, cv = cache
+        assert cache_index is not None
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+        k, v = ck.astype(q.dtype), cv.astype(q.dtype)
+        new_cache = (ck, cv)
+
+    out = dot_product_attention(q, k, v, mask=mask)
+    out = out.reshape(B, T, cfg.q_dim)
+    return linear(out, attn["o"]), new_cache
+
+
+def _mlp_block(layer: Params, x: jax.Array) -> jax.Array:
+    mlp = layer["mlp"]
+    return linear(jax.nn.silu(linear(x, mlp["gate"])) * linear(x, mlp["up"]), mlp["down"])
+
+
+def _decoder_layer(
+    layer: Params,
+    cfg: LLMConfig,
+    x: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: Optional[jax.Array],
+    modality: Optional[str],
+    cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+    cache_index: Optional[jax.Array] = None,
+):
+    h = rms_norm(x, layer["input_norm"]["scale"], cfg.rms_norm_eps)
+    attn_out, new_cache = _attention_block(
+        layer, cfg, h, cos, sin, mask, modality, cache, cache_index
+    )
+    x = x + attn_out
+    h = rms_norm(x, layer["post_attn_norm"]["scale"], cfg.rms_norm_eps)
+    x = x + _mlp_block(layer, h)
+    return x, new_cache
+
+
+def embed_tokens(params: Params, ids: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    return params["embed"]["w"].astype(dtype)[ids]
+
+
+def lm_head(params: Params, cfg: LLMConfig, x: jax.Array) -> jax.Array:
+    """Final-norm + unembedding. Returns f32 logits (B, T, V)."""
+    x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings:
+        w = params["embed"]["w"].astype(x.dtype).T
+    else:
+        w = params["lm_head"]["w"].astype(x.dtype)
+    return jnp.einsum("bth,hv->btv", x, w, preferred_element_type=jnp.float32)
+
+
+def llm_backbone(
+    params: Params,
+    cfg: LLMConfig,
+    inputs_embeds: jax.Array,  # (B, T, H)
+    positions: jax.Array,  # (B, T) int32
+    mask: Optional[jax.Array],  # bool (B,1,T,S) or None => causal
+    modality: Optional[str] = None,
+    remat: bool = True,
+) -> jax.Array:
+    """Run the decoder stack, return final hidden states (pre final-norm)."""
+    B, T, _ = inputs_embeds.shape
+    cos, sin = rope_cos_sin(cfg, positions)
+    if mask is None:
+        mask = jnp.broadcast_to(causal_mask(T, T), (B, 1, T, T))
+
+    def body(x, layer):
+        y, _ = _decoder_layer(layer, cfg, x, cos, sin, mask, modality)
+        return y, None
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+    x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
+    return x
+
+
+def llm_logits(
+    params: Params,
+    cfg: LLMConfig,
+    inputs_embeds: jax.Array,
+    positions: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    modality: Optional[str] = None,
+    remat: bool = True,
+) -> jax.Array:
+    B, T, _ = inputs_embeds.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    x = llm_backbone(params, cfg, inputs_embeds, positions, mask, modality, remat)
+    return lm_head(params, cfg, x)
+
+
+def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """HF CausalLM loss: shift by one, mean CE over labels != -100, in f32."""
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    token_lp = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    total = jnp.sum(jnp.where(valid, -token_lp, 0.0))
+    count = jnp.maximum(jnp.sum(valid), 1)
+    return total / count
+
+
+def llm_loss(
+    params: Params,
+    cfg: LLMConfig,
+    inputs_embeds: jax.Array,
+    labels: jax.Array,
+    modality: Optional[str] = None,
+    remat: bool = True,
+) -> jax.Array:
+    """Training loss with pure causal masking (the reference passes no
+    attention_mask with inputs_embeds — right-padding + -100 labels make the
+    causal mask exactly correct; see `modeling_OmniAVSR.py:263-306`)."""
+    logits = llm_logits(params, cfg, inputs_embeds, modality=modality, remat=remat)
+    return causal_lm_loss(logits, labels)
+
+
+# ---------------------------------------------------------------------------
+# KV-cache decoding
+# ---------------------------------------------------------------------------
+
+
+class KVCache(NamedTuple):
+    """Static-shape KV cache, stacked over layers: (L, B, S_max, Hkv, D)."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @classmethod
+    def create(cls, cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def llm_prefill(
+    params: Params,
+    cfg: LLMConfig,
+    inputs_embeds: jax.Array,  # (B, P) padded prefix
+    prefix_len: jax.Array,  # (B,) actual lengths (<= P)
+    cache: KVCache,
+    modality: Optional[str] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Run the padded prefix through the stack, filling cache slots [0, P).
+
+    Returns logits at the *last valid* prefix position, (B, V).
+    Positions are 0..P-1; pad slots are masked out as keys so their
+    (garbage) cache entries are never read.
+    """
+    B, P, _ = inputs_embeds.shape
+    positions = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (B, P))
+    cos, sin = rope_cos_sin(cfg, positions)
+    S = cache.max_len
+    # queries: causal over prefix; keys: cache slots [0, P) valid if < prefix_len
+    key_pos = jnp.arange(S)
+    key_valid = (key_pos[None] < prefix_len[:, None])  # (B, S)
+    qmask = combine_masks(
+        causal_mask(P, S),  # (1,1,P,S); key slot j attendable by query i iff j<=i
+        key_valid[:, None, None, :],
+    )
+
+    def body(x, layer_and_cache):
+        layer, ck, cv = layer_and_cache
+        y, new_cache = _decoder_layer(
+            layer, cfg, x, cos, sin, qmask, modality,
+            cache=(ck, cv), cache_index=jnp.int32(0),
+        )
+        return y, new_cache
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, inputs_embeds, (params["layers"], cache.k, cache.v)
+    )
+    logits = lm_head(params, cfg, x)  # (B, P, V)
+    last = jnp.clip(prefix_len - 1, 0, P - 1)
+    last_logits = jnp.take_along_axis(logits, last[:, None, None], axis=1)[:, 0]
+    return last_logits, KVCache(new_k, new_v)
+
+
+def llm_decode_step(
+    params: Params,
+    cfg: LLMConfig,
+    token_embeds: jax.Array,  # (B, 1, H)
+    step: jax.Array,  # scalar int32: index of this generated token (0-based)
+    prefix_len: jax.Array,  # (B,)
+    prefill_pad: int,  # static P (prefix slots in the cache)
+    cache: KVCache,
+    modality: Optional[str] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """One greedy/beam decode step. Writes cache slot P+step; position is
+    prefix_len + step (matching HF position semantics on the unpadded
+    sequence). Returns (B, V) logits."""
+    B = token_embeds.shape[0]
+    positions = (prefix_len + step)[:, None].astype(jnp.int32)  # (B,1)
+    cos, sin = rope_cos_sin(cfg, positions)
+    S = cache.max_len
+    key_pos = jnp.arange(S)
+    key_valid = (key_pos[None] < prefix_len[:, None]) | (
+        (key_pos[None] >= prefill_pad) & (key_pos[None] <= prefill_pad + step)
+    )
+    mask = key_valid[:, None, None, :]  # (B,1,1,S)
+    cache_index = prefill_pad + step
+
+    def body(x, layer_and_cache):
+        layer, ck, cv = layer_and_cache
+        y, new_cache = _decoder_layer(
+            layer, cfg, x, cos, sin, mask, modality,
+            cache=(ck, cv), cache_index=cache_index,
+        )
+        return y, new_cache
+
+    x, (new_k, new_v) = jax.lax.scan(
+        body, token_embeds, (params["layers"], cache.k, cache.v)
+    )
+    logits = lm_head(params, cfg, x)[:, 0]
+    return logits, KVCache(new_k, new_v)

@@ -1,0 +1,100 @@
+"""Parameter partition specs (GSPMD) for the model zoo.
+
+Rules are expressed as (path-regex -> PartitionSpec) tables matched against
+dot-joined parameter paths, mirroring the idiom of t5x/maxtext partitioning.
+The tp axis shards the big LLM matmuls (attention head dim / MLP hidden);
+everything else is replicated. Batch activations shard over dp.
+
+With dp=N, tp=1 this degenerates to pure data parallelism — the reference's
+DDP (`train_OmniAVSR.py:38-56`) — with the gradient psum riding ICI.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import AXIS_TP
+
+# Order matters: first match wins. Weights are (in, out).
+LLM_RULES: List[Tuple[str, P]] = [
+    # attention: shard the head dim (out-features of q/k/v, in-features of o)
+    (r".*attn\.q\.w$", P(None, AXIS_TP)),
+    (r".*attn\.k\.w$", P(None, AXIS_TP)),
+    (r".*attn\.v\.w$", P(None, AXIS_TP)),
+    (r".*attn\.q\.b$", P(AXIS_TP)),
+    (r".*attn\.k\.b$", P(AXIS_TP)),
+    (r".*attn\.v\.b$", P(AXIS_TP)),
+    (r".*attn\.o\.w$", P(AXIS_TP, None)),
+    # LoRA: up-projections shard with their base matrices; downs replicate
+    (r".*lora.*up_q\.w$", P(None, AXIS_TP)),
+    (r".*lora.*up_v\.w$", P(None, AXIS_TP)),
+    # MLP: gate/up shard out-features, down shards in-features
+    (r".*mlp\.gate\.w$", P(None, AXIS_TP)),
+    (r".*mlp\.up\.w$", P(None, AXIS_TP)),
+    (r".*mlp\.down\.w$", P(AXIS_TP, None)),
+    # embeddings / head: shard the vocab axis of the unembedding
+    (r"^embed\.w$", P(None, None)),
+    (r"^lm_head\.w$", P(None, AXIS_TP)),
+]
+
+# Encoder towers are small relative to the LLM; replicate by default but
+# shard their FFNs when tp > 1.
+ENCODER_RULES: List[Tuple[str, P]] = [
+    (r".*fc1\.w$", P(None, AXIS_TP)),
+    (r".*fc2\.w$", P(AXIS_TP, None)),
+    (r".*fc1\.b$", P(AXIS_TP)),
+]
+
+
+def _spec_for(path: str, rules: List[Tuple[str, P]], ndim: int) -> P:
+    for pattern, spec in rules:
+        if re.match(pattern, path):
+            if len(spec) <= ndim:
+                return spec
+            break
+    return P()
+
+
+def _tree_specs(tree: Any, rules: List[Tuple[str, P]], prefix: str = "") -> Any:
+    if isinstance(tree, dict):
+        return {
+            k: _tree_specs(v, rules, f"{prefix}.{k}" if prefix else k)
+            for k, v in tree.items()
+        }
+    # leaf: stacked-layer leading axis (if any) is never sharded by rules;
+    # our specs address trailing dims, so pad with None on the left when the
+    # leaf has more dims than the spec mentions.
+    spec = _spec_for(prefix, rules, tree.ndim)
+    if len(spec) and tree.ndim > len(spec):
+        spec = P(*([None] * (tree.ndim - len(spec)) + list(spec)))
+    return spec
+
+
+def llm_partition_specs(params: Any) -> Any:
+    return _tree_specs(params, LLM_RULES)
+
+
+def encoder_partition_specs(params: Any) -> Any:
+    return _tree_specs(params, ENCODER_RULES)
+
+
+def shard_params(mesh: Mesh, params: Any, specs: Any) -> Any:
+    """Device_put params according to spec tree."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def named_shardings(mesh: Mesh, specs: Any) -> Any:
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
