@@ -1,0 +1,197 @@
+"""AV-HuBERT encoder (video tower), frozen + runtime-injected LoRA.
+
+TPU re-design of `av_hubert/avhubert/hubert.py:318-789` plus the patched
+fairseq `TransformerEncoder` (`fairseq/models/wav2vec/wav2vec2.py:817-1040`)
+and its LoRA attention (`fairseq/modules/multihead_attention.py:389-560`):
+
+  video (B,T,88,88,1) -> ResNet3D -> Linear(512->D)          [video features]
+  audio fbank (B,T,104) -> Linear(104->D)                    [audio features]
+  video-only: audio features zero-filled (`hubert.py:704-709`)
+  concat fuse (B,T,2D) -> LayerNorm -> post_extract_proj (2D->D)
+  -> pos-conv (grouped k=128 conv, SamePad trim, GELU) residual
+  -> N pre-LN transformer layers; LoRA deltas added to q/v *before* the
+     1/sqrt(d) scaling (`multihead_attention.py:484-511`), scaling_lora = 2
+  -> final LayerNorm (layer_norm_first)
+
+The reference passes NO padding mask into `extract_finetune`
+(`modeling_OmniAVSR.py:463`), so padded frames attend normally; we keep an
+optional lengths mask but default to the same behaviour for parity.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AVHubertConfig
+from ..ops.attention import dot_product_attention, padding_mask_from_lengths
+from ..ops.norms import layer_norm
+from .common import (
+    Params,
+    init_kaiming_linear,
+    init_layer_norm,
+    init_linear,
+    init_zeros_linear,
+    linear,
+    stack_layers,
+)
+from .resnet3d import init_resnet3d, resnet3d_forward
+
+
+def init_avhubert(rng: jax.Array, cfg: AVHubertConfig, dtype=jnp.float32) -> Params:
+    D = cfg.encoder_embed_dim
+    keys = jax.random.split(rng, cfg.encoder_layers + 8)
+
+    def layer_init(k):
+        ks = jax.random.split(k, 8)
+        p = {
+            "attn_norm": init_layer_norm(D, dtype),
+            "attn": {
+                "q": init_linear(ks[0], D, D, bias=True, dtype=dtype),
+                "k": init_linear(ks[1], D, D, bias=True, dtype=dtype),
+                "v": init_linear(ks[2], D, D, bias=True, dtype=dtype),
+                "o": init_linear(ks[3], D, D, bias=True, dtype=dtype),
+            },
+            "final_norm": init_layer_norm(D, dtype),
+            "fc1": init_linear(ks[4], D, cfg.encoder_ffn_dim, bias=True, dtype=dtype),
+            "fc2": init_linear(ks[5], cfg.encoder_ffn_dim, D, bias=True, dtype=dtype),
+        }
+        if cfg.lora_rank_divisor:
+            r = round(D / cfg.lora_rank_divisor)
+            # zero down / kaiming up (`modeling_OmniAVSR.py:138-142`)
+            p["lora"] = {
+                "down_q": init_zeros_linear(D, r, dtype),
+                "up_q": init_kaiming_linear(ks[6], r, D, dtype),
+                "down_v": init_zeros_linear(D, r, dtype),
+                "up_v": init_kaiming_linear(ks[7], r, D, dtype),
+            }
+        return p
+
+    fuse_dim = 2 * D if cfg.modality_fuse == "concat" else D
+    return {
+        "video_frontend": init_resnet3d(keys[-1], cfg.resnet_relu_type, dtype),
+        "video_proj": init_linear(keys[-2], 512, D, bias=True, dtype=dtype),
+        "audio_proj": init_linear(keys[-3], cfg.audio_feat_dim, D, bias=True, dtype=dtype),
+        "fuse_norm": init_layer_norm(fuse_dim, dtype),
+        "post_extract_proj": init_linear(keys[-4], fuse_dim, D, bias=True, dtype=dtype),
+        "pos_conv": {
+            "w": jax.random.normal(
+                keys[-5], (cfg.conv_pos, D // cfg.conv_pos_groups, D), dtype
+            ) * (4.0 / (cfg.conv_pos * D)) ** 0.5,
+            "b": jnp.zeros((D,), dtype),
+        },
+        "layers": stack_layers(tuple(layer_init(keys[i]) for i in range(cfg.encoder_layers))),
+        "top_norm": init_layer_norm(D, dtype),
+    }
+
+
+def _pos_conv(x: jax.Array, p: Params, cfg: AVHubertConfig) -> jax.Array:
+    """Grouped conv positional encoding; even kernel + SamePad trims the
+    final timestep (`wav2vec2.py:826-840`)."""
+    pad = cfg.conv_pos // 2
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype),
+        window_strides=(1,),
+        padding=((pad, pad),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=cfg.conv_pos_groups,
+    )
+    y = y + p["b"].astype(x.dtype)
+    y = y[:, :-1]  # SamePad for even kernel
+    return jax.nn.gelu(y, approximate=False)
+
+
+def _encoder_layer(
+    layer: Params, cfg: AVHubertConfig, x: jax.Array, mask: Optional[jax.Array]
+) -> jax.Array:
+    B, T, D = x.shape
+    H = cfg.encoder_heads
+    hd = D // H
+    assert cfg.layer_norm_first, "post-LN variant handled in avhubert_encoder"
+    h = layer_norm(x, layer["attn_norm"]["scale"], layer["attn_norm"]["bias"])
+    attn = layer["attn"]
+    q = linear(h, attn["q"])
+    k = linear(h, attn["k"])
+    v = linear(h, attn["v"])
+    if "lora" in layer:
+        lora = layer["lora"]
+        q = q + linear(linear(h, lora["down_q"]), lora["up_q"]) * cfg.lora_scaling
+        v = v + linear(linear(h, lora["down_v"]), lora["up_v"]) * cfg.lora_scaling
+    q = q.reshape(B, T, H, hd)
+    k = k.reshape(B, T, H, hd)
+    v = v.reshape(B, T, H, hd)
+    out = dot_product_attention(q, k, v, mask=mask)
+    x = x + linear(out.reshape(B, T, D), attn["o"])
+
+    h = layer_norm(x, layer["final_norm"]["scale"], layer["final_norm"]["bias"])
+    h = jax.nn.gelu(linear(h, layer["fc1"]), approximate=False)
+    x = x + linear(h, layer["fc2"])
+    return x
+
+
+def avhubert_encoder(
+    params: Params,
+    cfg: AVHubertConfig,
+    features: jax.Array,  # (B, T, D) post-extract features
+    lengths: Optional[jax.Array] = None,
+) -> jax.Array:
+    x = features + _pos_conv(features, params["pos_conv"], cfg)
+    mask = None
+    if lengths is not None:
+        mask = padding_mask_from_lengths(lengths, x.shape[1])[:, None, None, :]
+
+    def body(h, layer):
+        return _encoder_layer(layer, cfg, h, mask), None
+
+    x, _ = jax.lax.scan(jax.checkpoint(body, prevent_cse=False), x, params["layers"])
+    if cfg.layer_norm_first:
+        tn = params["top_norm"]
+        x = layer_norm(x, tn["scale"], tn["bias"])
+    return x
+
+
+def avhubert_extract_features(
+    params: Params,
+    cfg: AVHubertConfig,
+    video: Optional[jax.Array],  # (B, T, H, W, 1)
+    audio: Optional[jax.Array] = None,  # (B, T, feat_dim) fbank stacks
+    train_mode: bool = False,
+) -> jax.Array:
+    """Modality feature extraction + zero-fill fuse (`hubert.py:695-728`)."""
+    assert video is not None or audio is not None
+    if video is not None:
+        vf = resnet3d_forward(params["video_frontend"], video, train_mode)
+        vfeat = linear(vf, params["video_proj"])
+        B, T = vfeat.shape[:2]
+    if audio is not None:
+        afeat = linear(audio, params["audio_proj"])
+        B, T = afeat.shape[:2]
+    D = cfg.encoder_embed_dim
+    if video is None:
+        vfeat = jnp.zeros((B, T, D), afeat.dtype)
+    if audio is None:
+        afeat = jnp.zeros((B, T, D), vfeat.dtype)
+
+    if cfg.modality_fuse == "concat":
+        # fairseq fuses on the channel axis with audio first (`hubert.py:714`)
+        feats = jnp.concatenate([afeat, vfeat], axis=-1)
+    else:
+        feats = afeat + vfeat
+    fn = params["fuse_norm"]
+    feats = layer_norm(feats, fn["scale"], fn["bias"])
+    return linear(feats, params["post_extract_proj"])
+
+
+def avhubert_encode(
+    params: Params,
+    cfg: AVHubertConfig,
+    video: Optional[jax.Array],
+    audio: Optional[jax.Array] = None,
+    lengths: Optional[jax.Array] = None,
+    train_mode: bool = False,
+) -> jax.Array:
+    """Full `extract_finetune` equivalent: (B, T, D) encoder output."""
+    feats = avhubert_extract_features(params, cfg, video, audio, train_mode)
+    return avhubert_encoder(params, cfg, feats, lengths)

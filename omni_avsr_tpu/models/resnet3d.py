@@ -1,0 +1,163 @@
+"""ResNet3D video frontend (AV-HuBERT's `ResEncoder`).
+
+Re-design of `av_hubert/avhubert/resnet.py:35-169` for TPU:
+  - channel-last layouts (NDHWC / NHWC) so XLA tiles convs onto the MXU
+  - time axis folded into batch for the 2D trunk (one big conv batch
+    instead of the reference's per-frame reshape of NCHW tensors)
+  - BatchNorms run frozen (inference stats) — the encoder is frozen in
+    Omni-AVSR; `train_mode=True` switches to batch statistics to mirror
+    torch train() semantics when needed.
+
+Structure: Conv3d(1->64, k=(5,7,7), s=(1,2,2)) + BN + PReLU +
+MaxPool3d(k=(1,3,3), s=(1,2,2)) -> ResNet-18 trunk (BasicBlock x [2,2,2,2],
+PReLU) -> global avg-pool -> (B, T, 512).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.norms import batch_norm_inference
+from .common import Params
+
+
+def prelu(x: jax.Array, a: jax.Array) -> jax.Array:
+    """Per-channel PReLU; channel is the last axis."""
+    a = a.astype(x.dtype).reshape((1,) * (x.ndim - 1) + (-1,))
+    return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
+
+
+def _bn(x: jax.Array, p: Params, train_mode: bool, eps: float = 1e-5) -> jax.Array:
+    if train_mode:
+        axes = tuple(range(x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.var(xf, axis=axes)
+        inv = jax.lax.rsqrt(var + eps)
+        y = (xf - mean) * inv * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+        return y.astype(x.dtype)
+    return batch_norm_inference(x, p["scale"], p["bias"], p["mean"], p["var"], eps)
+
+
+def _act(x: jax.Array, p: Params, name: str) -> jax.Array:
+    if name in p:
+        return prelu(x, p[name])
+    return jax.nn.relu(x)
+
+
+def _conv2d(x: jax.Array, w: jax.Array, stride: int, padding: int) -> jax.Array:
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _basic_block(p: Params, x: jax.Array, stride: int, train_mode: bool) -> jax.Array:
+    residual = x
+    h = _conv2d(x, p["conv1"]["w"], stride, 1)
+    h = _bn(h, p["bn1"], train_mode)
+    h = _act(h, p, "prelu1")
+    h = _conv2d(h, p["conv2"]["w"], 1, 1)
+    h = _bn(h, p["bn2"], train_mode)
+    if "downsample" in p:
+        residual = _conv2d(x, p["downsample"]["conv"]["w"], stride, 0)
+        residual = _bn(residual, p["downsample"]["bn"], train_mode)
+    return _act(h + residual, p, "prelu2")
+
+
+def _init_bn(c: int, dtype) -> Params:
+    return {
+        "scale": jnp.ones((c,), dtype),
+        "bias": jnp.zeros((c,), dtype),
+        "mean": jnp.zeros((c,), dtype),
+        "var": jnp.ones((c,), dtype),
+    }
+
+
+def init_resnet3d(rng: jax.Array, relu_type: str = "prelu", dtype=jnp.float32) -> Params:
+    """Random init (torch-style normal(0, sqrt(2/n)) on convs) — real runs
+    load converted AV-HuBERT weights."""
+    import numpy as np
+
+    keys = iter(jax.random.split(rng, 64))
+
+    def conv(kh, kw, cin, cout):
+        n = kh * kw * cout
+        return {"w": jax.random.normal(next(keys), (kh, kw, cin, cout), dtype) * np.sqrt(2.0 / n)}
+
+    def block(cin, cout, downsample):
+        p = {
+            "conv1": conv(3, 3, cin, cout),
+            "bn1": _init_bn(cout, dtype),
+            "conv2": conv(3, 3, cout, cout),
+            "bn2": _init_bn(cout, dtype),
+        }
+        if relu_type == "prelu":
+            p["prelu1"] = jnp.full((cout,), 0.25, dtype)
+            p["prelu2"] = jnp.full((cout,), 0.25, dtype)
+        if downsample:
+            p["downsample"] = {"conv": conv(1, 1, cin, cout), "bn": _init_bn(cout, dtype)}
+        return p
+
+    n3 = 5 * 7 * 7 * 64
+    params: Params = {
+        "stem": {
+            "conv": {"w": jax.random.normal(next(keys), (5, 7, 7, 1, 64), dtype) * np.sqrt(2.0 / n3)},
+            "bn": _init_bn(64, dtype),
+        },
+        "layer1": {"b0": block(64, 64, False), "b1": block(64, 64, False)},
+        "layer2": {"b0": block(64, 128, True), "b1": block(128, 128, False)},
+        "layer3": {"b0": block(128, 256, True), "b1": block(256, 256, False)},
+        "layer4": {"b0": block(256, 512, True), "b1": block(512, 512, False)},
+    }
+    if relu_type == "prelu":
+        params["stem"]["prelu"] = jnp.full((64,), 0.25, dtype)
+    return params
+
+
+def resnet3d_forward(
+    params: Params,
+    video: jax.Array,  # (B, T, H, W, C=1)
+    train_mode: bool = False,
+) -> jax.Array:
+    """Returns per-frame features (B, T, 512)."""
+    B, T, H, W, C = video.shape
+    x = video
+
+    # 3D stem
+    stem = params["stem"]
+    x = jax.lax.conv_general_dilated(
+        x, stem["conv"]["w"].astype(x.dtype),
+        window_strides=(1, 2, 2),
+        padding=((2, 2), (3, 3), (3, 3)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    x = _bn(x, stem["bn"], train_mode)
+    x = _act(x, stem, "prelu")
+    # MaxPool3d k=(1,3,3) s=(1,2,2) p=(0,1,1): time untouched -> fold T into
+    # batch now and use a 2D window (cheaper layout for XLA)
+    _, Tn, Hn, Wn, Cn = x.shape
+    x = x.reshape(B * Tn, Hn, Wn, Cn)
+    x = jax.lax.reduce_window(
+        x, -jnp.inf if x.dtype == jnp.float32 else jnp.array(-jnp.inf, x.dtype),
+        jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+    # 2D ResNet-18 trunk over B*T frames
+    for li, (name, stride) in enumerate(
+        (("layer1", 1), ("layer2", 2), ("layer3", 2), ("layer4", 2))
+    ):
+        blocks = params[name]
+        x = _basic_block(blocks["b0"], x, stride, train_mode)
+        x = _basic_block(blocks["b1"], x, 1, train_mode)
+
+    x = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)
+    return x.reshape(B, Tn, -1)
