@@ -1,0 +1,303 @@
+"""Unified Omni-AVSR model: encoders + matryoshka compression + projectors +
+LLM with Omni-LoRA.
+
+TPU re-design of `Omni_AVSR/modeling_OmniAVSR.py:27-606`. Differences in
+*mechanism* (the behaviour is the same):
+
+  - Everything — log-mel frontend, Whisper, AV-HuBERT, pooling, projection,
+    three LLM task forwards — runs inside ONE jitted step. No host
+    round-trips (the reference bounces audio via CPU numpy every step,
+    `modeling_OmniAVSR.py:528-537`).
+  - The matryoshka rate and the task (modality) are static: the train driver
+    samples the rate per step host-side (as the reference does with
+    `random.choice`, `:474,549`) and dispatches to one of a small set of
+    compiled step functions — XLA-friendly, no dynamic shapes.
+  - Audio token trimming `max(int(max_len/16000*50), 25)` (`:536-537`) is a
+    static per-bucket length.
+
+Sequence assembly (Llama; Qwen drops the BOS and appends text at the end):
+  train  : [BOS][<audio> A </audio>][<video> V </video>][prompt][text EOS]
+  labels : [bos ][-100 ...                                    ][text EOS]
+  infer  : [BOS][<audio> A </audio>][<video> V </video>][prompt]
+(per-task subsets of A/V; `modeling_OmniAVSR.py:263-323, 397-458`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MODALITIES, OmniConfig
+from ..data.tokenizer import IGNORE_INDEX, TokenizerBundle
+from ..ops.audio_frontend import log_mel_spectrogram, whisper_token_len
+from ..ops.pooling import compress
+from .avhubert import avhubert_encode, init_avhubert
+from .common import Params
+from .llm import causal_lm_loss, embed_tokens, init_llm, llm_logits
+from .projector import init_matry_projectors, project
+from .whisper import init_whisper_encoder, whisper_encode
+
+
+class OmniAVSR:
+    """Host-side model handle. Holds static config + tokenizer constants;
+    all compute methods are pure functions of (params, arrays) safe to jit.
+    Mirrors the reference `AVSR_LLMs` API surface."""
+
+    def __init__(self, cfg: OmniConfig, tok: TokenizerBundle):
+        assert tok.family == cfg.llm.family
+        self.cfg = cfg
+        self.tok = tok
+        self.prompt_ids = {
+            "audio": tok.prompt_ids(cfg.prompt_audio),
+            "video": tok.prompt_ids(cfg.prompt_video),
+            "audiovisual": tok.prompt_ids(cfg.prompt_audiovisual),
+        }
+
+    # ------------------------------------------------------------------ init
+
+    def init_params(self, rng: jax.Array, frozen_dtype=jnp.bfloat16, train_dtype=jnp.float32) -> Params:
+        cfg = self.cfg
+        keys = jax.random.split(rng, 5)
+        params: Params = {"llm": init_llm(keys[0], cfg.llm, dtype=frozen_dtype)}
+        has_audio = cfg.modality in ("audio", "audiovisual")
+        has_video = cfg.modality in ("video", "audiovisual")
+        if has_audio and cfg.whisper is not None:
+            params["whisper"] = init_whisper_encoder(keys[1], cfg.whisper, dtype=frozen_dtype)
+            params["audio_proj"] = init_matry_projectors(
+                keys[2], cfg.audio_rates, cfg.whisper.hidden_size,
+                cfg.projector_intermediate_size, cfg.llm.hidden_size,
+                cfg.compression_mode, cfg.is_matryoshka,
+                cfg.is_single_matry_projector, cfg.remove_layernorm_from_projector,
+                dtype=train_dtype,
+            )
+        if has_video and cfg.avhubert is not None:
+            params["avhubert"] = init_avhubert(keys[3], cfg.avhubert, dtype=frozen_dtype)
+            params["video_proj"] = init_matry_projectors(
+                keys[4], cfg.video_rates, cfg.avhubert.encoder_embed_dim,
+                cfg.projector_intermediate_size, cfg.llm.hidden_size,
+                cfg.compression_mode, cfg.is_matryoshka,
+                cfg.is_single_matry_projector, cfg.remove_layernorm_from_projector,
+                dtype=train_dtype,
+            )
+        return params
+
+    def trainable_predicate(self, unfrozen_modules: Tuple[str, ...] = ("peft_llm", "lora_avhubert")):
+        """Path predicate for the trainable/frozen split — parity with
+        `_unfreeze_PETF` (`modeling_OmniAVSR.py:234-260`): projectors always
+        train; LLM LoRA iff 'peft_llm'; AV-HuBERT LoRA iff 'lora_avhubert'."""
+
+        def pred(path: str) -> bool:
+            if path.startswith(("audio_proj", "video_proj")):
+                return True
+            if "peft_llm" in unfrozen_modules and path.startswith("llm.") and ".lora" in path:
+                return True
+            if (
+                "lora_avhubert" in unfrozen_modules
+                and path.startswith("avhubert.")
+                and ".lora" in path
+            ):
+                return True
+            return False
+
+        return pred
+
+    # -------------------------------------------------------------- encoders
+
+    def encode_audio(
+        self,
+        params: Params,
+        audio: jax.Array,  # (B, S) 16 kHz waveform
+        audio_len: jax.Array,  # (B,) valid samples
+        rate: int,
+        trim_len: int,  # static: max(int(max_samples/16000*50), 25)
+    ) -> jax.Array:
+        """(B, trim_len//rate, d_llm) projected audio tokens."""
+        mel = log_mel_spectrogram(audio, audio_len)
+        enc = whisper_encode(params["whisper"], self.cfg.whisper, mel.astype(jnp.bfloat16))
+        enc = enc[:, :trim_len]
+        enc = compress(enc, rate, self.cfg.compression_mode)
+        return project(params["audio_proj"], enc, rate if self._per_rate else None)
+
+    def encode_video(
+        self,
+        params: Params,
+        video: jax.Array,  # (B, T, H, W, 1)
+        rate: int,
+        train_mode: bool = False,
+    ) -> jax.Array:
+        enc = avhubert_encode(
+            params["avhubert"], self.cfg.avhubert, video.astype(jnp.bfloat16),
+            train_mode=train_mode,
+        )
+        enc = compress(enc, rate, self.cfg.compression_mode)
+        return project(params["video_proj"], enc, rate if self._per_rate else None)
+
+    @property
+    def _per_rate(self) -> bool:
+        return self.cfg.is_matryoshka and not self.cfg.is_single_matry_projector
+
+    # -------------------------------------------------------------- assembly
+
+    def _delim_embeds(self, params: Params, B: int, dtype) -> Dict[str, jax.Array]:
+        def e(tid: int) -> jax.Array:
+            emb = embed_tokens(params["llm"], jnp.full((B, 1), tid, jnp.int32), dtype)
+            return emb
+
+        return {
+            "audio_sos": e(self.tok.audio_sos_id),
+            "audio_eos": e(self.tok.audio_eos_id),
+            "video_sos": e(self.tok.video_sos_id),
+            "video_eos": e(self.tok.video_eos_id),
+        }
+
+    def _prompt_embeds(self, params: Params, modality: str, B: int, dtype) -> jax.Array:
+        ids = jnp.asarray(self.prompt_ids[modality])[None]
+        emb = embed_tokens(params["llm"], ids, dtype)
+        return jnp.broadcast_to(emb, (B,) + emb.shape[1:])
+
+    def _assemble_task(
+        self,
+        params: Params,
+        modality: str,
+        av_parts: Tuple[jax.Array, ...],  # ordered audio/video feature blocks
+        text_emb: jax.Array,  # (B, Tt, D)
+        labels: Optional[jax.Array],  # (B, Tt) or None (inference)
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        B = text_emb.shape[0]
+        dtype = text_emb.dtype
+        d = self._delim_embeds(params, B, dtype)
+        prompt = self._prompt_embeds(params, modality, B, dtype)
+
+        blocks = []
+        if modality in ("audio", "audiovisual"):
+            blocks += [d["audio_sos"], av_parts[0], d["audio_eos"]]
+        if modality in ("video", "audiovisual"):
+            v = av_parts[-1]
+            blocks += [d["video_sos"], v, d["video_eos"]]
+        blocks.append(prompt)
+        prefix = jnp.concatenate(blocks, axis=1)
+        P = prefix.shape[1]
+
+        if self.cfg.llm.family == "llama":
+            embeds = jnp.concatenate([text_emb[:, :1], prefix, text_emb[:, 1:]], axis=1)
+            if labels is None:
+                return embeds, None
+            lab = jnp.concatenate(
+                [labels[:, :1], jnp.full((B, P), IGNORE_INDEX, labels.dtype), labels[:, 1:]],
+                axis=1,
+            )
+        else:  # qwen: prefix first, no BOS
+            embeds = jnp.concatenate([prefix, text_emb], axis=1)
+            if labels is None:
+                return embeds, None
+            lab = jnp.concatenate(
+                [jnp.full((B, P), IGNORE_INDEX, labels.dtype), labels], axis=1
+            )
+        return embeds, lab
+
+    # ----------------------------------------------------------- train/infer
+
+    def train_losses(
+        self,
+        params: Params,
+        batch: Dict[str, jax.Array],
+        rate_audio: int,
+        rate_video: int,
+        audio_trim_len: int,
+        train_mode: bool = True,
+        remat: bool = True,
+    ) -> Dict[str, jax.Array]:
+        """Three-task training forward. Returns matry-weighted per-task
+        losses (`modeling_OmniAVSR.py:263-306`)."""
+        cfg = self.cfg
+        dtype = jnp.bfloat16
+        text_emb = embed_tokens(params["llm"], batch["tokens"], dtype)
+        labels = batch["labels"]
+
+        a = self.encode_audio(
+            params, batch["audio"], batch["audio_len"], rate_audio, audio_trim_len
+        ).astype(dtype)
+        v = self.encode_video(params, batch["video"], rate_video, train_mode).astype(dtype)
+
+        losses = {}
+        for i, m in enumerate(MODALITIES):
+            parts = {"audio": (a,), "video": (v,), "audiovisual": (a, v)}[m]
+            embeds, lab = self._assemble_task(params, m, parts, text_emb, labels)
+            lora_mod = m if (cfg.llm.lora and cfg.llm.lora.task_specific) else None
+            logits = llm_logits(params["llm"], cfg.llm, embeds, modality=lora_mod, remat=remat)
+            loss = causal_lm_loss(logits, lab)
+            if cfg.matry_weights is not None:
+                loss = loss * cfg.matry_weights[i]
+            losses[m] = loss
+        return losses
+
+    def single_task_loss(
+        self,
+        params: Params,
+        batch: Dict[str, jax.Array],
+        modality: str,
+        rate_audio: Optional[int] = None,
+        rate_video: Optional[int] = None,
+        audio_trim_len: Optional[int] = None,
+        train_mode: bool = True,
+        remat: bool = True,
+    ) -> jax.Array:
+        """Llama-AVSR baseline: one task per model
+        (`Omni_AVSR/modeling_LlamaAVSR.py`). With matryoshka, the baseline
+        (Llama-MTSK) averages the loss over ALL rates each step
+        (`modeling_LlamaAVSR.py:244-251`) — callers loop rates and mean."""
+        cfg = self.cfg
+        dtype = jnp.bfloat16
+        text_emb = embed_tokens(params["llm"], batch["tokens"], dtype)
+        labels = batch["labels"]
+        parts = []
+        if modality in ("audio", "audiovisual"):
+            parts.append(
+                self.encode_audio(
+                    params, batch["audio"], batch["audio_len"], rate_audio, audio_trim_len
+                ).astype(dtype)
+            )
+        if modality in ("video", "audiovisual"):
+            parts.append(
+                self.encode_video(params, batch["video"], rate_video, train_mode).astype(dtype)
+            )
+        embeds, lab = self._assemble_task(params, modality, tuple(parts), text_emb, labels)
+        lora_mod = modality if (cfg.llm.lora and cfg.llm.lora.task_specific) else None
+        logits = llm_logits(params["llm"], cfg.llm, embeds, modality=lora_mod, remat=remat)
+        return causal_lm_loss(logits, lab)
+
+    def infer_prefix(
+        self,
+        params: Params,
+        batch: Dict[str, jax.Array],
+        modality: str,
+        rate_audio: Optional[int] = None,
+        rate_video: Optional[int] = None,
+        audio_trim_len: Optional[int] = None,
+    ) -> jax.Array:
+        """Decode prefix embeddings [BOS][audio][video][prompt]
+        (`modeling_OmniAVSR.py:397-458`)."""
+        cfg = self.cfg
+        dtype = jnp.bfloat16
+        B = batch["tokens"].shape[0] if "tokens" in batch else (
+            batch["audio"].shape[0] if "audio" in batch else batch["video"].shape[0]
+        )
+        parts = []
+        if modality in ("audio", "audiovisual"):
+            parts.append(
+                self.encode_audio(
+                    params, batch["audio"], batch["audio_len"], rate_audio, audio_trim_len
+                ).astype(dtype)
+            )
+        if modality in ("video", "audiovisual"):
+            parts.append(self.encode_video(params, batch["video"], rate_video, False).astype(dtype))
+        if cfg.llm.family == "llama":
+            bos = embed_tokens(params["llm"], jnp.full((B, 1), self.tok.bos_id, jnp.int32), dtype)
+            text_emb = bos
+        else:
+            text_emb = jnp.zeros((B, 0, cfg.llm.hidden_size), dtype)
+        embeds, _ = self._assemble_task(params, modality, tuple(parts), text_emb, None)
+        return embeds
