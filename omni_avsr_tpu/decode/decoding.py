@@ -1,0 +1,183 @@
+"""Jitted decoding: greedy and beam search over the static KV cache.
+
+Replaces HF `generate()` beam search with DynamicCache
+(`modeling_OmniAVSR.py:308-323`, beams 15, max 32 new tokens) with a fully
+static-shape XLA program:
+
+  - the prefix (multimodal embeddings) is padded to a bucket length P and
+    prefilled once; pad slots are masked out of the cache
+  - the token loop is a `lax.scan` of exactly max_new steps — finished-
+    hypothesis bookkeeping makes early exit unnecessary (insertions only
+    ever improve the kept set, so running to the bound is semantically
+    identical to HF's is_done cut-off, minus its known early_stopping=False
+    approximation)
+  - beam reordering is a gather on the cache's batch axis
+
+HF semantics reproduced (transformers `BeamSearchScorer`):
+  - first beam initialised to score 0, others -1e9
+  - per step: top 2K of K*V candidates; EOS candidates with rank < K become
+    finished hypotheses (score normalised by generated length **
+    length_penalty); the K best non-EOS candidates continue
+  - at the end, running beams are offered to the hypothesis heap, best
+    normalised hypothesis wins.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LLMConfig
+from ..models.llm import KVCache, embed_tokens, llm_decode_step, llm_prefill
+
+NEG = -1e9
+
+
+def _embed(params, ids: jax.Array, dtype) -> jax.Array:
+    return embed_tokens(params, ids, dtype)
+
+
+def greedy_decode(
+    params,
+    cfg: LLMConfig,
+    prefix_embeds: jax.Array,  # (B, P, D) padded prefix
+    prefix_len: jax.Array,  # (B,)
+    *,
+    max_new: int,
+    eos_id: int,
+    pad_id: int,
+    modality: Optional[str] = None,
+    cache_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Returns (B, max_new) generated ids, pad_id after EOS."""
+    B, P, D = prefix_embeds.shape
+    cache = KVCache.create(cfg, B, P + max_new, dtype=cache_dtype)
+    logits, cache = llm_prefill(params, cfg, prefix_embeds, prefix_len, cache, modality)
+
+    def step(carry, t):
+        cache, logits, done = carry
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok = jnp.where(done, pad_id, tok)
+        done = done | (tok == eos_id)
+        emb = _embed(params, tok[:, None], prefix_embeds.dtype)
+        logits, cache = llm_decode_step(
+            params, cfg, emb, t, prefix_len, P, cache, modality
+        )
+        return (cache, logits, done), tok
+
+    (_, _, _), toks = jax.lax.scan(
+        step, (cache, logits, jnp.zeros((B,), bool)), jnp.arange(max_new, dtype=jnp.int32)
+    )
+    return toks.T  # (B, max_new)
+
+
+def beam_search(
+    params,
+    cfg: LLMConfig,
+    prefix_embeds: jax.Array,  # (B, P, D)
+    prefix_len: jax.Array,  # (B,)
+    *,
+    num_beams: int,
+    max_new: int,
+    eos_id: int,
+    pad_id: int,
+    modality: Optional[str] = None,
+    length_penalty: float = 1.0,
+    cache_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Returns (B, max_new) best-hypothesis ids, pad_id after the content."""
+    B, P, D = prefix_embeds.shape
+    K = num_beams
+    V = cfg.vocab_size
+    dtype = prefix_embeds.dtype
+
+    # prefill once per batch item, then tile the cache across beams
+    cache = KVCache.create(cfg, B, P + max_new, dtype=cache_dtype)
+    logits0, cache = llm_prefill(params, cfg, prefix_embeds, prefix_len, cache, modality)
+    cache = KVCache(
+        jnp.repeat(cache.k, K, axis=1),  # (L, B*K, S, H, hd)
+        jnp.repeat(cache.v, K, axis=1),
+    )
+    prefix_len_bk = jnp.repeat(prefix_len, K, axis=0)
+
+    logits = jnp.repeat(logits0[:, None], K, axis=1)  # (B, K, V)
+    cum = jnp.tile(jnp.array([0.0] + [NEG] * (K - 1), jnp.float32), (B, 1))  # (B, K)
+    tokens = jnp.full((B, K, max_new), pad_id, jnp.int32)
+    hyp_scores = jnp.full((B, K), NEG, jnp.float32)
+    hyp_tokens = jnp.full((B, K, max_new), pad_id, jnp.int32)
+    hyp_lens = jnp.zeros((B, K), jnp.int32)
+    batch_offsets = (jnp.arange(B) * K)[:, None]  # (B,1)
+
+    def insert_hyps(heap, cand_scores, cand_tokens, cand_lens):
+        """Merge candidates into the K-best heap (all (B, X, ...))."""
+        h_s, h_t, h_l = heap
+        s = jnp.concatenate([h_s, cand_scores], axis=1)
+        tks = jnp.concatenate([h_t, cand_tokens], axis=1)
+        ls = jnp.concatenate([h_l, cand_lens], axis=1)
+        top = jax.lax.top_k(s, K)[1]  # (B, K) indices
+        take = lambda x: jnp.take_along_axis(
+            x, top.reshape(B, K, *([1] * (x.ndim - 2))), axis=1
+        ) if x.ndim > 2 else jnp.take_along_axis(x, top, axis=1)
+        return take(s), take(tks), take(ls)
+
+    def step(carry, t):
+        cache, logits, cum, tokens, heap = carry
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # (B,K,V)
+        cand = (cum[:, :, None] + logp).reshape(B, K * V)
+        scores2k, idx2k = jax.lax.top_k(cand, 2 * K)  # (B, 2K)
+        parent = idx2k // V  # (B, 2K)
+        tok = (idx2k % V).astype(jnp.int32)
+        is_eos = tok == eos_id
+
+        # --- finished hypotheses: EOS candidates with rank < K
+        rank = jnp.broadcast_to(jnp.arange(2 * K)[None], (B, 2 * K))
+        eligible = is_eos & (rank < K)
+        gen_len = jnp.maximum(t, 1)  # tokens before this EOS
+        norm = scores2k / (gen_len.astype(jnp.float32) ** length_penalty)
+        cand_scores = jnp.where(eligible, norm, NEG)  # (B, 2K)
+        parent_tokens = jnp.take_along_axis(
+            tokens, parent[:, :, None], axis=1
+        )  # (B, 2K, max_new)
+        cand_lens = jnp.full((B, 2 * K), t, jnp.int32)
+        heap = insert_hyps(heap, cand_scores, parent_tokens, cand_lens)
+
+        # --- running beams: K best non-EOS
+        run_scores = jnp.where(is_eos, NEG, scores2k)
+        top_run = jax.lax.top_k(run_scores, K)[1]  # (B, K) indices into 2K
+        new_cum = jnp.take_along_axis(run_scores, top_run, axis=1)
+        new_parent = jnp.take_along_axis(parent, top_run, axis=1)  # (B, K)
+        new_tok = jnp.take_along_axis(tok, top_run, axis=1)  # (B, K)
+
+        # reorder token buffers + cache by parent beam
+        tokens = jnp.take_along_axis(tokens, new_parent[:, :, None], axis=1)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, new_tok[:, :, None], (0, 0, t)
+        )
+        flat_idx = (batch_offsets + new_parent).reshape(-1)  # (B*K,)
+        cache = KVCache(cache.k[:, flat_idx], cache.v[:, flat_idx])
+
+        emb = _embed(params, new_tok.reshape(B * K, 1), dtype)
+        step_logits, cache = llm_decode_step(
+            params, cfg, emb, t, prefix_len_bk, P, cache, modality
+        )
+        return (cache, step_logits.reshape(B, K, V), new_cum, tokens, heap), None
+
+    heap = (hyp_scores, hyp_tokens, hyp_lens)
+    (cache, logits, cum, tokens, heap), _ = jax.lax.scan(
+        step, (cache, logits, cum, tokens, heap), jnp.arange(max_new, dtype=jnp.int32)
+    )
+
+    # offer the running beams (full length, no EOS) to the heap
+    final_norm = cum / (jnp.float32(max_new) ** length_penalty)
+    heap = insert_hyps(
+        heap, final_norm, tokens, jnp.full((B, K), max_new, jnp.int32)
+    )
+    h_s, h_t, h_l = heap
+    best = jnp.argmax(h_s, axis=1)  # (B,)
+    best_tokens = jnp.take_along_axis(h_t, best[:, None, None], axis=1)[:, 0]
+    best_len = jnp.take_along_axis(h_l, best[:, None], axis=1)[:, 0]
+    mask = jnp.arange(max_new)[None] < best_len[:, None]
+    return jnp.where(mask, best_tokens, pad_id)

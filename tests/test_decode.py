@@ -1,0 +1,145 @@
+"""Decode parity vs HF transformers generate(): converter + forward +
+greedy + beam search, at identical weights on a tiny random Llama."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from omni_avsr_tpu.config import LLMConfig
+from omni_avsr_tpu.convert.llm_torch import convert_llm
+from omni_avsr_tpu.decode.decoding import beam_search, greedy_decode
+from omni_avsr_tpu.models import llm as L
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def tiny_pair():
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf_cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        rms_norm_eps=1e-5,
+        rope_theta=500000.0,
+        rope_scaling={
+            "rope_type": "llama3",
+            "factor": 32.0,
+            "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 8192,
+        },
+        tie_word_embeddings=True,
+        attention_bias=False,
+        max_position_embeddings=2048,
+    )
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+
+    cfg = LLMConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=16, rope_theta=500000.0,
+        rope_scaling_factor=32.0, tie_word_embeddings=True, lora=None,
+    )
+    params = convert_llm(hf.state_dict(), cfg, dtype=jnp.float32)
+    return hf, cfg, params
+
+
+def test_forward_parity(tiny_pair):
+    hf, cfg, params = tiny_pair
+    rng = np.random.RandomState(1)
+    embeds = rng.randn(2, 10, 64).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref = hf(inputs_embeds=torch.from_numpy(embeds)).logits.numpy()
+    ours = np.asarray(L.llm_logits(params, cfg, jnp.asarray(embeds), remat=False))
+    np.testing.assert_allclose(ours, ref, atol=3e-4, rtol=1e-3)
+
+
+def test_loss_parity(tiny_pair):
+    hf, cfg, params = tiny_pair
+    rng = np.random.RandomState(2)
+    embeds = rng.randn(2, 8, 64).astype(np.float32) * 0.5
+    labels = rng.randint(0, 128, (2, 8))
+    labels[:, :3] = -100
+    with torch.no_grad():
+        ref = hf(
+            inputs_embeds=torch.from_numpy(embeds), labels=torch.from_numpy(labels)
+        ).loss.item()
+    ours = float(
+        L.llm_loss(params, cfg, jnp.asarray(embeds), jnp.asarray(labels), remat=False)
+    )
+    assert abs(ours - ref) < 2e-4, (ours, ref)
+
+
+def _hf_generate(hf, embeds, *, num_beams, max_new, eos_id, pad_id):
+    with torch.no_grad():
+        out = hf.generate(
+            inputs_embeds=torch.from_numpy(embeds),
+            max_new_tokens=max_new,
+            num_beams=num_beams,
+            do_sample=False,
+            eos_token_id=eos_id,
+            pad_token_id=pad_id,
+            length_penalty=1.0,
+            early_stopping=False,
+        )
+    return out.numpy()
+
+
+def _compare(ours, ref, eos_id, pad_id, max_new):
+    """Compare per-row: HF pads with pad_id and may include the EOS; ours
+    stores pad after content (greedy keeps EOS, beam drops it)."""
+    for o_row, r_row in zip(np.asarray(ours), ref):
+        r = [t for t in r_row.tolist() if t != pad_id]
+        o = [t for t in o_row.tolist() if t != pad_id]
+        r_core = r[:-1] if (r and r[-1] == eos_id) else r
+        o_core = o[:-1] if (o and o[-1] == eos_id) else o
+        assert o_core == r_core, (o, r)
+
+
+def test_greedy_parity(tiny_pair):
+    hf, cfg, params = tiny_pair
+    rng = np.random.RandomState(3)
+    B, T, max_new = 2, 7, 8
+    eos_id, pad_id = 5, 0
+    embeds = rng.randn(B, T, 64).astype(np.float32) * 0.5
+    ref = _hf_generate(hf, embeds, num_beams=1, max_new=max_new, eos_id=eos_id, pad_id=pad_id)
+
+    # our prefix is padded to P=8 with true length 7
+    P = 8
+    padded = np.zeros((B, P, 64), np.float32)
+    padded[:, :T] = embeds
+    ours = greedy_decode(
+        params, cfg, jnp.asarray(padded), jnp.full((B,), T, jnp.int32),
+        max_new=max_new, eos_id=eos_id, pad_id=pad_id, cache_dtype=jnp.float32,
+    )
+    _compare(ours, ref, eos_id, pad_id, max_new)
+
+
+@pytest.mark.parametrize("num_beams,max_new,eos_id", [(4, 6, 5), (3, 10, 7)])
+def test_beam_parity(tiny_pair, num_beams, max_new, eos_id):
+    hf, cfg, params = tiny_pair
+    rng = np.random.RandomState(4 + num_beams)
+    B, T = 2, 6
+    pad_id = 0
+    embeds = rng.randn(B, T, 64).astype(np.float32) * 0.5
+    ref = _hf_generate(
+        hf, embeds, num_beams=num_beams, max_new=max_new, eos_id=eos_id, pad_id=pad_id
+    )
+    P = 8
+    padded = np.zeros((B, P, 64), np.float32)
+    padded[:, :T] = embeds
+    ours = beam_search(
+        params, cfg, jnp.asarray(padded), jnp.full((B,), T, jnp.int32),
+        num_beams=num_beams, max_new=max_new, eos_id=eos_id, pad_id=pad_id,
+        cache_dtype=jnp.float32,
+    )
+    _compare(ours, ref, eos_id, pad_id, max_new)
