@@ -1,11 +1,18 @@
 """Benchmark entry point — prints ONE JSON line for the driver.
 
-Round-1 metric: decoder training-step throughput (tokens/s) on the flagship
-Llama-3.2-1B-geometry LLM with Omni-LoRA, the dominant FLOPs consumer of the
-Omni-AVSR hot loop (3 LLM forwards per step, `modeling_OmniAVSR.py:263-306`).
-The reference publishes no throughput numbers (SURVEY.md §6), so
-vs_baseline is reported against the north-star 20x real-time decode target
-once the end-to-end decode path lands; until then it is null.
+Headline metric: end-to-end AVSR decode real-time factor (RTF) on one chip —
+raw 96x96 video frames + 16 kHz waveform in, transcript ids out, through the
+full flagship stack (on-device log-mel + Whisper-medium geometry encoder,
+ResNet3D + AV-HuBERT-Large geometry video encoder, matryoshka compression at
+(audio 4, video 2), projectors, Llama-3.2-1B decoder with Omni-LoRA, greedy
+32-token decode with static KV cache).
+
+vs_baseline is RTF / 20 — the north-star target is >= 20x real time per
+TPU v5e chip (BASELINE.md). Weights are random (no checkpoint access here);
+FLOPs and memory traffic are identical to converted weights.
+
+NOTE: under the axon tunnel block_until_ready() does not reliably wait —
+timing fetches real values instead (see .claude/skills/verify/SKILL.md).
 """
 
 from __future__ import annotations
@@ -15,47 +22,39 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def main():
-    from omni_avsr_tpu.config import LoRAConfig, llama32_1b
-    from omni_avsr_tpu.models import llm as L
+    from __graft_entry__ import _batch, _flagship
+    from omni_avsr_tpu.config import TrainConfig
+    from omni_avsr_tpu.train.engine import OmniEngine
 
-    cfg = llama32_1b(
-        lora=LoRAConfig(rank_divisor=32, alpha=4, task_specific=True, v_out_divisor=4),
-        vocab_size=128261,
-    )
-    params = L.init_llm(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-    B, T = 4, 512
-    embeds = jax.random.normal(jax.random.PRNGKey(1), (B, T, cfg.hidden_size), jnp.bfloat16)
-    labels = jax.random.randint(jax.random.PRNGKey(2), (B, T), 0, cfg.vocab_size)
+    model = _flagship(tiny=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+    engine = OmniEngine(model, params, TrainConfig(), 1.0, noise_bank=None, seed=0)
+    merged = engine.merged_params()
 
-    n_iters = 20
+    frames = 160  # 6.4 s clip @ 25 fps
+    secs = frames / 25.0
+    batch = _batch(model, B=1, frames=frames, token_len=8)
+    np_batch = {k: np.asarray(v) for k, v in batch.items()}
+    np_batch["audio_trim_len"] = 325  # whisper_token_len(6.4 s) -> 320, bucket 325
 
-    # Run the whole timing loop on-device inside one jit (a fori_loop with a
-    # data dependency between steps): the axon tunnel's block_until_ready
-    # does not reliably wait, so a single dispatch + value fetch is the only
-    # trustworthy clock.
-    @jax.jit
-    def timed(params, embeds, labels):
-        def body(i, acc):
-            e = embeds + acc * 0.0  # serialise iterations
-            return acc + L.llm_loss(params, cfg, e, labels, modality="audiovisual", remat=False)
-
-        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
-
-    float(timed(params, embeds, labels))  # compile + warmup
+    # warmup / compile
+    hyp = engine.decode_batch(merged, dict(np_batch), "audiovisual", 4, 2, num_beams=1)
+    n_iters = 5
     t0 = time.perf_counter()
-    total = float(timed(params, embeds, labels))
+    for _ in range(n_iters):
+        engine.decode_batch(merged, dict(np_batch), "audiovisual", 4, 2, num_beams=1)
     dt = time.perf_counter() - t0
-    assert total == total, "NaN loss in bench"
-    tok_per_s = B * T * n_iters / dt
+    rtf = secs * n_iters / dt
 
     print(json.dumps({
-        "metric": "llm_forward_tokens_per_s",
-        "value": round(tok_per_s, 1),
-        "unit": "tokens/s",
-        "vs_baseline": None,
+        "metric": "avsr_e2e_decode_rtf",
+        "value": round(rtf, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtf / 20.0, 3),
     }))
 
 

@@ -1,0 +1,230 @@
+"""Shared CLI plumbing: the reference's flag surface (`train_OmniAVSR.py:75-391`)
+mapped onto typed configs, plus model/param builders."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (
+    AVHubertConfig,
+    DataConfig,
+    LLM_REGISTRY,
+    LoRAConfig,
+    OmniConfig,
+    TrainConfig,
+    WhisperEncoderConfig,
+    avhubert_large,
+    default_v_divisor,
+    whisper_medium_en,
+)
+from ..data.tokenizer import TokenizerBundle, load_hf_tokenizer, synthetic_tokenizer
+from ..models.omni import OmniAVSR
+
+
+def str2bool(v: str) -> bool:
+    # NOTE: the reference uses `type=bool` (any non-empty string is True,
+    # `train_OmniAVSR.py:159-163`); we keep the flag names but parse sanely.
+    return str(v).lower() not in ("false", "0", "no", "")
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--exp-dir", default="./exp")
+    p.add_argument("--exp-name", default="omni")
+    p.add_argument("--modality", default="audiovisual",
+                   choices=["audio", "video", "audiovisual"])
+    p.add_argument("--llm-model", default="meta-llama/Llama-3.2-1B")
+    p.add_argument("--audio-encoder-name", default="openai/whisper-medium.en")
+    p.add_argument("--pretrain-avhubert-enc-video-path", default=None)
+    p.add_argument("--use-lora-avhubert", type=str2bool, default=True)
+    p.add_argument("--add-PETF-LLM", default="lora")
+    p.add_argument("--rank", type=int, default=32)
+    p.add_argument("--alpha", type=int, default=4)
+    p.add_argument("--is-task-specific", type=str2bool, default=True)
+    p.add_argument("--use-shared-lora-task-specific", type=str2bool, default=False)
+    p.add_argument("--is-matryoshka", type=str2bool, default=True)
+    p.add_argument("--is-single-matry-projector", type=str2bool, default=False)
+    p.add_argument("--compression-mode", default="avg-pooling", choices=["avg-pooling", "stack"])
+    p.add_argument("--downsample-ratio-audio", type=int, nargs="+", default=[4, 16])
+    p.add_argument("--downsample-ratio-video", type=int, nargs="+", default=[2, 5])
+    p.add_argument("--matry-weights", type=float, nargs=3, default=[1.0, 1.5, 1.0])
+    p.add_argument("--no-layernorm-projector", type=str2bool, default=False)
+    p.add_argument("--intermediate-size", type=int, default=2048)
+    p.add_argument("--prompt-audio", default="Transcribe speech to text.")
+    p.add_argument("--prompt-video", default="Transcribe video to text.")
+    p.add_argument("--prompt-audiovisual", default="Transcribe speech and video to text.")
+    p.add_argument("--unfrozen-modules", nargs="+", default=["peft_llm", "lora_avhubert"])
+    p.add_argument("--max-dec-tokens", type=int, default=32)
+    p.add_argument("--num-beams", type=int, default=15)
+    # data
+    p.add_argument("--root-dir", default="")
+    p.add_argument("--train-file", default="")
+    p.add_argument("--val-file", default="")
+    p.add_argument("--test-file", default="")
+    p.add_argument("--max-frames-audio", type=int, default=1500)
+    p.add_argument("--max-frames-video", type=int, default=1000)
+    p.add_argument("--max-frames-audiovisual", type=int, default=1000)
+    p.add_argument("--train-num-buckets", type=int, default=400)
+    p.add_argument("--num-workers", type=int, default=5)
+    p.add_argument("--decode-snr-target", type=float, default=999999)
+    p.add_argument("--noise-path", default=None)
+    # checkpoints
+    p.add_argument("--pretrained-model-path", default=None,
+                   help="trained reference .pth / orbax dir to load")
+    p.add_argument("--whisper-path", default=None, help="HF whisper dir or .bin/.safetensors")
+    p.add_argument("--llm-path", default=None, help="HF llama/qwen dir")
+    p.add_argument("--seed", type=int, default=42)
+    # offline smoke mode
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="generate N synthetic train clips and run offline with a tiny model")
+    p.add_argument("--tiny", type=str2bool, default=False,
+                   help="tiny encoder/LLM dims (smoke tests)")
+
+
+def tiny_dims() -> Tuple[WhisperEncoderConfig, AVHubertConfig, Dict[str, int]]:
+    whisper = WhisperEncoderConfig(hidden_size=64, num_layers=2, num_heads=4, ffn_dim=128)
+    avhubert = AVHubertConfig(
+        encoder_embed_dim=64, encoder_layers=2, encoder_heads=4,
+        encoder_ffn_dim=128, audio_feat_dim=26, lora_rank_divisor=16,
+    )
+    llm_dims = dict(hidden_size=128, intermediate_size=256, num_layers=2,
+                    num_heads=8, num_kv_heads=4, head_dim=16)
+    return whisper, avhubert, llm_dims
+
+
+def build_model(args) -> OmniAVSR:
+    import dataclasses
+
+    use_tiny = args.tiny or args.synthetic
+    lora = None
+    if args.add_PETF_LLM == "lora":
+        lora = LoRAConfig(
+            rank_divisor=args.rank, alpha=args.alpha,
+            task_specific=args.is_task_specific,
+            shared=args.use_shared_lora_task_specific,
+            v_out_divisor=default_v_divisor(args.llm_model),
+        )
+
+    if use_tiny:
+        tok = synthetic_tokenizer("qwen" if "Qwen" in args.llm_model else "llama")
+        whisper, avhubert, llm_dims = tiny_dims()
+        from ..config import LLMConfig
+
+        llm = LLMConfig(
+            family=tok.family, vocab_size=tok.vocab_size,
+            rope_scaling_factor=32.0 if tok.family == "llama" else None,
+            attention_bias=(tok.family == "qwen"),
+            lora=dataclasses.replace(lora, rank_divisor=8, v_out_divisor=2) if lora else None,
+            **llm_dims,
+        )
+    else:
+        tok = load_hf_tokenizer(args.llm_model)
+        llm = LLM_REGISTRY[args.llm_model](lora=lora, vocab_size=tok.vocab_size)
+        name = args.audio_encoder_name
+        if "medium" in name:
+            whisper = whisper_medium_en()
+        elif "small" in name:
+            from ..config import whisper_small_en
+
+            whisper = whisper_small_en()
+        else:
+            from ..config import whisper_base_en
+
+            whisper = whisper_base_en()
+        avhubert = avhubert_large(use_lora=args.use_lora_avhubert)
+
+    rates_a = tuple(args.downsample_ratio_audio)
+    rates_v = tuple(args.downsample_ratio_video)
+    if not args.is_matryoshka:
+        rates_a, rates_v = rates_a[:1], rates_v[:1]
+
+    cfg = OmniConfig(
+        llm_model=args.llm_model, llm=llm, whisper=whisper, avhubert=avhubert,
+        modality=args.modality, compression_mode=args.compression_mode,
+        downsample_ratio_audio=rates_a, downsample_ratio_video=rates_v,
+        is_matryoshka=args.is_matryoshka,
+        is_single_matry_projector=args.is_single_matry_projector,
+        remove_layernorm_from_projector=args.no_layernorm_projector,
+        projector_intermediate_size=(32 if use_tiny else args.intermediate_size),
+        matry_weights=tuple(args.matry_weights),
+        is_task_specific=args.is_task_specific,
+        use_shared_lora_task_specific=args.use_shared_lora_task_specific,
+        prompt_audio=args.prompt_audio, prompt_video=args.prompt_video,
+        prompt_audiovisual=args.prompt_audiovisual,
+        max_dec_tokens=args.max_dec_tokens, num_beams=args.num_beams,
+    )
+    return OmniAVSR(cfg, tok)
+
+
+def build_params(args, model: OmniAVSR) -> Dict[str, Any]:
+    """Parameter source resolution: trained ckpt > base torch ckpts > random."""
+    if args.pretrained_model_path:
+        from ..convert.omni_ckpt import convert_omni_checkpoint, load_torch_checkpoint
+
+        if os.path.isdir(args.pretrained_model_path):  # orbax
+            from ..train.checkpoint import restore_checkpoint
+
+            template = model.init_params(jax.random.PRNGKey(0))
+            return restore_checkpoint(args.pretrained_model_path, template)
+        sd = load_torch_checkpoint(args.pretrained_model_path)
+        return convert_omni_checkpoint(sd, model.cfg)
+
+    params = model.init_params(jax.random.PRNGKey(args.seed))
+    if args.whisper_path:
+        from ..convert.omni_ckpt import load_torch_checkpoint
+        from ..convert.whisper_torch import convert_whisper_encoder
+
+        sd = load_torch_checkpoint(args.whisper_path)
+        sd = {k.replace("model.encoder.", "").replace("encoder.", "", 1)
+              if k.startswith(("model.encoder.", "encoder.")) else k: v
+              for k, v in sd.items()}
+        params["whisper"] = convert_whisper_encoder(sd, model.cfg.whisper)
+    if args.pretrain_avhubert_enc_video_path:
+        from ..convert.avhubert_torch import convert_avhubert
+        from ..convert.omni_ckpt import load_torch_checkpoint
+
+        sd = load_torch_checkpoint(args.pretrain_avhubert_enc_video_path)
+        params["avhubert"] = convert_avhubert(sd, model.cfg.avhubert)
+    if args.llm_path:
+        from ..convert.llm_torch import convert_llm
+        from ..convert.omni_ckpt import load_torch_checkpoint
+
+        sd = load_torch_checkpoint(args.llm_path)
+        params["llm"] = convert_llm(sd, model.cfg.llm)
+    return params
+
+
+def build_data_config(args) -> DataConfig:
+    return DataConfig(
+        root_dir=args.root_dir, train_file=args.train_file,
+        val_file=args.val_file, test_file=args.test_file,
+        max_frames_audio=args.max_frames_audio,
+        max_frames_video=args.max_frames_video,
+        max_frames_audiovisual=args.max_frames_audiovisual,
+        train_num_buckets=args.train_num_buckets,
+        num_workers=args.num_workers,
+        decode_snr_target=args.decode_snr_target,
+    )
+
+
+def maybe_synthetic(args) -> None:
+    """--synthetic N: generate an offline corpus and point the data flags at it."""
+    if not args.synthetic:
+        return
+    from ..data.synthetic import generate_corpus
+
+    out_dir = os.path.join(args.exp_dir, "synthetic_data")
+    os.makedirs(out_dir, exist_ok=True)
+    train_csv, val_csv, test_csv = generate_corpus(out_dir, n_train=args.synthetic)
+    args.root_dir = out_dir
+    args.train_file = train_csv
+    args.val_file = val_csv
+    args.test_file = test_csv
+    args.max_frames_audiovisual = 200
+    args.train_num_buckets = 4
+    args.num_workers = 2
+    args.num_beams = min(args.num_beams, 3)

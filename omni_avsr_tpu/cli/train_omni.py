@@ -1,0 +1,163 @@
+"""Train driver for the unified Omni-AVSR model.
+
+Equivalent of `train_OmniAVSR.py` (same flag names; see cli/common.py):
+epoch loop with per-step random matryoshka rates, per-epoch validation +
+checkpointing, post-training last-N weight averaging, and an auto-test
+sweep over the task x rate grid (`train_OmniAVSR.py:400-479`).
+
+Offline smoke run (synthetic corpus + tiny dims):
+  python -m omni_avsr_tpu.cli.train_omni --synthetic 8 --max-epochs 2 \
+      --exp-dir /tmp/omni_smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..config import TrainConfig
+from ..data.datamodule import DataModule
+from ..data.noise import load_noise_bank
+from ..train.checkpoint import average_last_n, latest_checkpoint, restore_checkpoint, save_checkpoint
+from ..train.engine import OmniEngine
+from ..utils.logging import MetricLogger
+from ..utils.metrics import WerAccumulator
+from .common import (
+    add_common_args,
+    build_data_config,
+    build_model,
+    build_params,
+    maybe_synthetic,
+    str2bool,
+)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("train_omni")
+    add_common_args(p)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight-decay", type=float, default=0.1)
+    p.add_argument("--warmup-epochs", type=float, default=0.0)
+    p.add_argument("--max-epochs", type=int, default=8)
+    p.add_argument("--gradient-clip-val", type=float, default=10.0)
+    p.add_argument("--num-check-save", type=int, default=4)
+    p.add_argument("--num-average-epochs", type=int, default=4)
+    p.add_argument("--ckpt-path", default=None, help="resume from this orbax checkpoint")
+    p.add_argument("--auto-test", type=str2bool, default=True)
+    p.add_argument("--wandb", type=str2bool, default=False)
+    p.add_argument("--project-wandb", default="omni-avsr-tpu")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    maybe_synthetic(args)
+    os.makedirs(args.exp_dir, exist_ok=True)
+    ckpt_dir = os.path.join(args.exp_dir, args.exp_name, "checkpoints")
+
+    model = build_model(args)
+    params = build_params(args, model)
+    data_cfg = build_data_config(args)
+    dm = DataModule(data_cfg, model.tok, modality=args.modality)
+    steps_per_epoch = max(dm.steps_per_epoch(), 1)
+
+    train_cfg = TrainConfig(
+        lr=args.lr, weight_decay=args.weight_decay,
+        warmup_epochs=args.warmup_epochs, max_epochs=args.max_epochs,
+        grad_clip=args.gradient_clip_val, seed=args.seed,
+        num_checkpoints_to_average=args.num_average_epochs,
+        checkpoint_dir=ckpt_dir,
+    )
+    noise = load_noise_bank(args.noise_path) if args.modality != "video" else None
+    engine = OmniEngine(
+        model, params, train_cfg, steps_per_epoch,
+        unfrozen_modules=tuple(args.unfrozen_modules),
+        noise_bank=noise, seed=args.seed,
+    )
+    logger = MetricLogger(
+        args.exp_dir, args.exp_name,
+        use_wandb=args.wandb, project=args.project_wandb, config=vars(args),
+    )
+
+    start_epoch = 0
+    if args.ckpt_path:
+        engine.state = restore_checkpoint(args.ckpt_path, engine.state)
+        start_epoch = int(engine.state.step) // steps_per_epoch
+        print(f"resumed from {args.ckpt_path} at epoch {start_epoch}")
+
+    for epoch in range(start_epoch, args.max_epochs):
+        t0 = time.time()
+        n, loss_sum, loss_n = 0, 0.0, 0
+        for batch in dm.train_batches(epoch):
+            loss = engine.train_step(batch)
+            n += 1
+            if n % 10 == 0 or n == 1:
+                loss_val = float(loss)  # sync point
+                loss_sum += loss_val
+                loss_n += 1
+                logger.log(int(engine.state.step), {
+                    "train_loss": loss_val,
+                    "lr": float(engine.schedule(int(engine.state.step))),
+                })
+        train_loss = loss_sum / max(loss_n, 1)
+
+        # validation (reference logs loss_val + per-task, `lightning:185-190`)
+        val_n, val_sum = 0, 0.0
+        for batch in dm.val_batches():
+            total, _ = engine.eval_step(batch)
+            val_sum += float(total)
+            val_n += 1
+        val_loss = val_sum / max(val_n, 1)
+        dt = time.time() - t0
+        print(f"epoch {epoch}: train_loss={train_loss:.4f} val_loss={val_loss:.4f} "
+              f"steps={n} ({dt:.1f}s)")
+        logger.log(int(engine.state.step), {"epoch": epoch, "loss_val": val_loss})
+        save_checkpoint(ckpt_dir, int(engine.state.step), engine.state,
+                        keep=args.num_check_save)
+
+    # post-training weight averaging (`utils/avg_checkpoints.py:34-44`)
+    avg = average_last_n(ckpt_dir, engine.state, min(args.num_average_epochs, args.max_epochs))
+    engine.state = engine.state._replace(
+        trainable=jax.tree_util.tree_map(lambda x: jax.numpy.asarray(x), avg)
+    )
+    avg_path = os.path.join(ckpt_dir, f"model_avg_{args.num_average_epochs}")
+    save_checkpoint(os.path.dirname(avg_path), int(engine.state.step) + 1, engine.state, keep=0)
+    print(f"averaged last {args.num_average_epochs} checkpoints")
+
+    if args.auto_test and args.test_file:
+        run_auto_test(args, model, engine, dm, logger)
+    logger.close()
+
+
+def run_auto_test(args, model, engine, dm, logger) -> None:
+    """Task x rate WER sweep (`train_OmniAVSR.py:426-478`; VSR 3x per rate)."""
+    params = engine.merged_params()
+    results = {}
+    tasks = [("audio", [(ra, None) for ra in model.cfg.audio_rates]),
+             ("video", [(None, rv) for rv in model.cfg.video_rates]),
+             ("audiovisual", [(ra, rv) for ra in model.cfg.audio_rates
+                              for rv in model.cfg.video_rates])]
+    for task, rate_grid in tasks:
+        if args.modality not in ("audiovisual", task):
+            continue
+        for ra, rv in rate_grid:
+            reps = 3 if task == "video" else 1  # VSR tested 3x (`:441-445`)
+            for rep in range(reps):
+                acc = WerAccumulator()
+                dm_task = type(dm)(dm.cfg, dm.tok, modality=task)
+                for batch in dm_task.test_batches():
+                    hyps = engine.decode_batch(params, batch, task, ra, rv)
+                    for ref, hyp in zip(batch["gold_text"], hyps):
+                        acc.update(ref, hyp)
+                key = f"wer/{task}_a{ra}_v{rv}" + (f"_rep{rep}" if reps > 1 else "")
+                results[key] = acc.wer
+                print(f"{key}: {acc.wer:.4f}")
+    logger.log(int(engine.state.step), results)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,10 @@ def load_manifest(label_path: str) -> List[ManifestEntry]:
 
 
 def load_video(path: str) -> np.ndarray:
-    """mp4 -> (T, H, W, 3) uint8 via OpenCV."""
+    """mp4 -> (T, H, W, 3) uint8 via OpenCV (.npy accepted for synthetic
+    corpora, data/synthetic.py)."""
+    if path.endswith(".npy"):
+        return np.load(path)
     import cv2
 
     cap = cv2.VideoCapture(path)

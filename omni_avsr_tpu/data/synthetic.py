@@ -1,0 +1,85 @@
+"""Synthetic AV corpus generator — the `create_dummy_data` idiom from the
+fairseq test suite (SURVEY.md §4: `tests/utils.py:162`), adapted to AVSR:
+tiny mp4+wav clips with known transcripts, so train/eval run end-to-end
+offline through the real file loaders.
+"""
+
+from __future__ import annotations
+
+import os
+import wave
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+WORDS = (
+    "the quick brown fox jumps over a lazy dog and runs far away "
+    "hello world speech video model test data sample audio visual"
+).split()
+
+
+def _write_wav(path: str, audio: np.ndarray, sr: int = 16000) -> None:
+    pcm = np.clip(audio * 32767.0, -32768, 32767).astype(np.int16)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+def _write_video(path: str, frames: np.ndarray) -> str:
+    """Try mp4 via OpenCV; fall back to .npy (loader supports both)."""
+    try:
+        import cv2
+
+        T, H, W, C = frames.shape
+        vw = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), 25.0, (W, H)
+        )
+        if vw.isOpened():
+            for f in frames:
+                vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+            vw.release()
+            if os.path.getsize(path) > 0:
+                return path
+    except Exception:
+        pass
+    npy = path[:-4] + ".npy"
+    np.save(npy, frames)
+    return npy
+
+
+def generate_corpus(
+    out_dir: str,
+    n_train: int = 8,
+    n_val: int = 2,
+    n_test: int = 2,
+    min_frames: int = 24,
+    max_frames: int = 60,
+    seed: int = 0,
+) -> Tuple[str, str, str]:
+    """Writes clips + manifests; returns (train_csv, val_csv, test_csv)."""
+    rng = np.random.RandomState(seed)
+    ds = "synth"
+    clip_dir = os.path.join(out_dir, ds)
+    os.makedirs(clip_dir, exist_ok=True)
+
+    def make_split(name: str, n: int) -> str:
+        rows = []
+        for i in range(n):
+            T = int(rng.randint(min_frames, max_frames + 1))
+            frames = rng.randint(0, 255, (T, 96, 96, 3), dtype=np.uint8)
+            audio = (rng.randn(T * 640) * 0.1).astype(np.float32)
+            base = f"{name}_{i:04d}"
+            video_path = _write_video(os.path.join(clip_dir, base + ".mp4"), frames)
+            _write_wav(os.path.join(clip_dir, base + ".wav"), audio)
+            n_words = int(rng.randint(2, 6))
+            text = " ".join(rng.choice(WORDS) for _ in range(n_words))
+            rel = os.path.basename(video_path)
+            rows.append(f"{ds},{rel},{T},0,{text}")
+        csv_path = os.path.join(out_dir, f"{name}.csv")
+        with open(csv_path, "w") as f:
+            f.write("\n".join(rows) + "\n")
+        return csv_path
+
+    return make_split("train", n_train), make_split("val", n_val), make_split("test", n_test)
