@@ -50,6 +50,10 @@ def parse_args(argv=None):
     p.add_argument("--auto-test", type=str2bool, default=True)
     p.add_argument("--wandb", type=str2bool, default=False)
     p.add_argument("--project-wandb", default="omni-avsr-tpu")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the first train steps here")
+    p.add_argument("--detect-nan", type=str2bool, default=False,
+                   help="debug: scan step outputs/params for NaN/Inf")
     return p.parse_args(argv)
 
 
@@ -89,19 +93,29 @@ def main(argv=None):
         start_epoch = int(engine.state.step) // steps_per_epoch
         print(f"resumed from {args.ckpt_path} at epoch {start_epoch}")
 
+    from ..utils.profiling import StepTimer, find_nonfinite, trace
+
+    timer = StepTimer()
     for epoch in range(start_epoch, args.max_epochs):
         t0 = time.time()
         n, loss_sum, loss_n = 0, 0.0, 0
         for batch in dm.train_batches(epoch):
-            loss = engine.train_step(batch)
+            with trace(args.profile_dir if (epoch == start_epoch and 2 <= n <= 4) else None):
+                loss = engine.train_step(batch)
+            timer.tick()
             n += 1
             if n % 10 == 0 or n == 1:
                 loss_val = float(loss)  # sync point
                 loss_sum += loss_val
                 loss_n += 1
+                if args.detect_nan and loss_val != loss_val:
+                    bad = find_nonfinite(engine.state.trainable)
+                    raise FloatingPointError(f"NaN loss at step {engine.state.step}; "
+                                             f"non-finite params: {bad[:10]}")
                 logger.log(int(engine.state.step), {
                     "train_loss": loss_val,
                     "lr": float(engine.schedule(int(engine.state.step))),
+                    "step_time_s": timer.mean,
                 })
         train_loss = loss_sum / max(loss_n, 1)
 
