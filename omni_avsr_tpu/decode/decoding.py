@@ -86,9 +86,15 @@ def beam_search(
     pad_id: int,
     modality: Optional[str] = None,
     length_penalty: float = 1.0,
+    no_repeat_ngram_size: int = 0,
     cache_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """Returns (B, max_new) best-hypothesis ids, pad_id after the content."""
+    """Returns (B, max_new) best-hypothesis ids, pad_id after the content.
+
+    no_repeat_ngram_size > 0 bans tokens completing an already-seen n-gram —
+    the XLA-native replacement for fairseq's ngram_repeat_block CUDA kernel
+    (`fairseq/clib/cuda/ngram_repeat_block_cuda.cpp`), computed as masked
+    window comparisons over the on-device token buffer."""
     B, P, D = prefix_embeds.shape
     K = num_beams
     V = cfg.vocab_size
@@ -123,9 +129,28 @@ def beam_search(
         ) if x.ndim > 2 else jnp.take_along_axis(x, top, axis=1)
         return take(s), take(tks), take(ls)
 
+    def ngram_ban_mask(tokens: jax.Array, t: jax.Array) -> jax.Array:
+        """(B, K, V) additive mask banning n-gram-completing tokens."""
+        n = no_repeat_ngram_size
+        nm1 = n - 1
+        # the (n-1)-token suffix ending at position t-1
+        suf_idx = jnp.clip(t - nm1 + jnp.arange(nm1), 0, max_new - 1)  # (nm1,)
+        suffix = tokens[:, :, suf_idx]  # (B, K, nm1)
+        ban = jnp.zeros((B, K, V), jnp.float32)
+        for j in range(max_new - nm1):
+            window = tokens[:, :, j:j + nm1]
+            target = tokens[:, :, j + nm1]
+            hit = jnp.all(window == suffix, axis=-1) & (j + nm1 <= t - 1) & (t >= nm1)
+            ban = ban + jnp.where(hit, NEG, 0.0)[:, :, None] * jax.nn.one_hot(
+                target, V, dtype=jnp.float32
+            )
+        return ban
+
     def step(carry, t):
         cache, logits, cum, tokens, heap = carry
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # (B,K,V)
+        if no_repeat_ngram_size > 0:
+            logp = logp + ngram_ban_mask(tokens, t)
         cand = (cum[:, :, None] + logp).reshape(B, K * V)
         scores2k, idx2k = jax.lax.top_k(cand, 2 * K)  # (B, 2K)
         parent = idx2k // V  # (B, 2K)

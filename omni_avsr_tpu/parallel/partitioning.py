@@ -17,7 +17,7 @@ from typing import Any, Dict, List, Tuple
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import AXIS_TP
+from .mesh import AXIS_DP, AXIS_TP
 
 # Order matters: first match wins. Weights are (in, out).
 LLM_RULES: List[Tuple[str, P]] = [
@@ -74,8 +74,27 @@ def _tree_specs(tree: Any, rules: List[Tuple[str, P]], prefix: str = "") -> Any:
     return spec
 
 
-def llm_partition_specs(params: Any) -> Any:
-    return _tree_specs(params, LLM_RULES)
+# FSDP / ZeRO-3 style: additionally shard every large matrix over the dp
+# axis on its first (row) dim; XLA all-gathers per layer on use and
+# reduce-scatters gradients — the GSPMD equivalent of the reference's
+# commented-out FSDPStrategy (`train_OmniAVSR.py:19, 49`).
+FSDP_EXTRA_RULES: List[Tuple[str, P]] = [
+    (r".*attn\.q\.w$", P(AXIS_DP, AXIS_TP)),
+    (r".*attn\.k\.w$", P(AXIS_DP, AXIS_TP)),
+    (r".*attn\.v\.w$", P(AXIS_DP, AXIS_TP)),
+    (r".*attn\.o\.w$", P(AXIS_TP, AXIS_DP)),
+    (r".*mlp\.gate\.w$", P(AXIS_DP, AXIS_TP)),
+    (r".*mlp\.up\.w$", P(AXIS_DP, AXIS_TP)),
+    (r".*mlp\.down\.w$", P(AXIS_TP, AXIS_DP)),
+    (r"^embed\.w$", P(AXIS_DP, None)),
+    (r"^lm_head\.w$", P(AXIS_DP, AXIS_TP)),
+    (r".*fc1\.w$", P(AXIS_DP, AXIS_TP)),
+    (r".*fc2\.w$", P(AXIS_TP, AXIS_DP)),
+] + LLM_RULES
+
+
+def llm_partition_specs(params: Any, fsdp: bool = False) -> Any:
+    return _tree_specs(params, FSDP_EXTRA_RULES if fsdp else LLM_RULES)
 
 
 def encoder_partition_specs(params: Any) -> Any:

@@ -124,6 +124,33 @@ def test_greedy_parity(tiny_pair):
     _compare(ours, ref, eos_id, pad_id, max_new)
 
 
+def test_beam_no_repeat_ngram(tiny_pair):
+    """no_repeat_ngram_size parity vs HF generate."""
+    hf, cfg, params = tiny_pair
+    rng = np.random.RandomState(11)
+    B, T, max_new, eos_id, pad_id = 1, 5, 10, 999, 0  # eos unused -> full length
+    embeds = rng.randn(B, T, 64).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref = hf.generate(
+            inputs_embeds=torch.from_numpy(embeds), max_new_tokens=max_new,
+            num_beams=3, do_sample=False, eos_token_id=eos_id, pad_token_id=pad_id,
+            length_penalty=1.0, early_stopping=False, no_repeat_ngram_size=2,
+        ).numpy()
+    P = 8
+    padded = np.zeros((B, P, 64), np.float32)
+    padded[:, :T] = embeds
+    ours = beam_search(
+        params, cfg, jnp.asarray(padded), jnp.full((B,), T, jnp.int32),
+        num_beams=3, max_new=max_new, eos_id=eos_id, pad_id=pad_id,
+        no_repeat_ngram_size=2, cache_dtype=jnp.float32,
+    )
+    _compare(ours, ref, eos_id, pad_id, max_new)
+    # and the output truly has no repeated bigram
+    row = [t for t in np.asarray(ours)[0].tolist() if t != pad_id]
+    bigrams = list(zip(row[:-1], row[1:]))
+    assert len(bigrams) == len(set(bigrams))
+
+
 @pytest.mark.parametrize("num_beams,max_new,eos_id", [(4, 6, 5), (3, 10, 7)])
 def test_beam_parity(tiny_pair, num_beams, max_new, eos_id):
     hf, cfg, params = tiny_pair

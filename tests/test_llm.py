@@ -131,6 +131,21 @@ def test_kv_cache_matches_full_forward():
     assert toks == ref_toks[: len(toks)]
 
 
+def test_fsdp_sharded_forward(mesh8):
+    """FSDP specs (params sharded over dp too) produce identical logits."""
+    cfg = tiny_cfg(task_specific=False)
+    params = L.init_llm(jax.random.PRNGKey(0), cfg)
+    B, T = 4, 8
+    embeds = jax.random.normal(jax.random.PRNGKey(1), (B, T, cfg.hidden_size), jnp.float32)
+    expected = L.llm_logits(params, cfg, embeds, remat=False)
+    specs = llm_partition_specs(params, fsdp=True)
+    with mesh8:
+        sharded = shard_params(mesh8, params, specs)
+        embeds_s = jax.device_put(embeds, batch_sharding(mesh8))
+        out = jax.jit(lambda p, e: L.llm_logits(p, cfg, e, remat=False))(sharded, embeds_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-4, rtol=2e-3)
+
+
 def test_tp_dp_sharded_forward(mesh8):
     """Forward under a 4x2 (dp,tp) mesh matches single-device output."""
     cfg = tiny_cfg()
