@@ -229,6 +229,13 @@ class AVHubertConfig:
     conv_pos_groups: int = 16
     modality_fuse: str = "concat"
     resnet_relu_type: str = "prelu"
+    # training-mode stochastics (the reference leaves the frozen encoder in
+    # train() so these fire during training; fairseq defaults)
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.0
+    dropout_input: float = 0.1
+    layerdrop: float = 0.05
     # runtime-injected LoRA on each encoder layer's q/v
     # (`modeling_OmniAVSR.py:127-142`): bottleneck = dim/16, scaling 2.
     lora_rank_divisor: Optional[int] = None

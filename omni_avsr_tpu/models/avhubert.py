@@ -103,13 +103,28 @@ def _pos_conv(x: jax.Array, p: Params, cfg: AVHubertConfig) -> jax.Array:
     return jax.nn.gelu(y, approximate=False)
 
 
+def _dropout(rng: Optional[jax.Array], x: jax.Array, rate: float) -> jax.Array:
+    if rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return x * keep.astype(x.dtype) / (1.0 - rate)
+
+
 def _encoder_layer(
-    layer: Params, cfg: AVHubertConfig, x: jax.Array, mask: Optional[jax.Array]
+    layer: Params,
+    cfg: AVHubertConfig,
+    x: jax.Array,
+    mask: Optional[jax.Array],
+    rng: Optional[jax.Array] = None,
 ) -> jax.Array:
     B, T, D = x.shape
     H = cfg.encoder_heads
     hd = D // H
     assert cfg.layer_norm_first, "post-LN variant handled in avhubert_encoder"
+    if rng is not None:
+        k_attn, k_d1, k_d2, k_d3 = jax.random.split(rng, 4)
+    else:
+        k_attn = k_d1 = k_d2 = k_d3 = None
     h = layer_norm(x, layer["attn_norm"]["scale"], layer["attn_norm"]["bias"])
     attn = layer["attn"]
     q = linear(h, attn["q"])
@@ -122,12 +137,16 @@ def _encoder_layer(
     q = q.reshape(B, T, H, hd)
     k = k.reshape(B, T, H, hd)
     v = v.reshape(B, T, H, hd)
-    out = dot_product_attention(q, k, v, mask=mask)
-    x = x + linear(out.reshape(B, T, D), attn["o"])
+    out = dot_product_attention(
+        q, k, v, mask=mask, dropout_rng=k_attn, dropout_rate=cfg.attention_dropout
+    )
+    out = _dropout(k_d1, linear(out.reshape(B, T, D), attn["o"]), cfg.dropout)
+    x = x + out
 
     h = layer_norm(x, layer["final_norm"]["scale"], layer["final_norm"]["bias"])
     h = jax.nn.gelu(linear(h, layer["fc1"]), approximate=False)
-    x = x + linear(h, layer["fc2"])
+    h = _dropout(k_d2, h, cfg.activation_dropout)
+    x = x + _dropout(k_d3, linear(h, layer["fc2"]), cfg.dropout)
     return x
 
 
@@ -136,16 +155,37 @@ def avhubert_encoder(
     cfg: AVHubertConfig,
     features: jax.Array,  # (B, T, D) post-extract features
     lengths: Optional[jax.Array] = None,
+    rng: Optional[jax.Array] = None,
 ) -> jax.Array:
+    """rng enables train()-mode stochastics: dropouts + layerdrop
+    (fairseq `TransformerEncoder.extract_features`, `wav2vec2.py:867-905`)."""
     x = features + _pos_conv(features, params["pos_conv"], cfg)
     mask = None
     if lengths is not None:
         mask = padding_mask_from_lengths(lengths, x.shape[1])[:, None, None, :]
 
-    def body(h, layer):
-        return _encoder_layer(layer, cfg, h, mask), None
+    L = cfg.encoder_layers
+    if rng is not None:
+        k_in, k_layers = jax.random.split(rng)
+        x = _dropout(k_in, x, cfg.dropout)
+        layer_keys = jax.random.split(k_layers, L)
+        drop_u = jax.random.uniform(jax.random.fold_in(rng, 7), (L,))
+    else:
+        layer_keys = jnp.zeros((L, 2), jnp.uint32)
+        drop_u = jnp.ones((L,))
 
-    x, _ = jax.lax.scan(jax.checkpoint(body, prevent_cse=False), x, params["layers"])
+    def body(h, xs):
+        layer, key, u = xs
+        y = _encoder_layer(layer, cfg, h, mask, key if rng is not None else None)
+        if rng is not None and cfg.layerdrop > 0.0:
+            y = jnp.where(u > cfg.layerdrop, y, h)  # stochastic layer skip
+        return y, None
+
+    x, _ = jax.lax.scan(
+        jax.checkpoint(body, prevent_cse=False),
+        x,
+        (params["layers"], layer_keys, drop_u),
+    )
     if cfg.layer_norm_first:
         tn = params["top_norm"]
         x = layer_norm(x, tn["scale"], tn["bias"])
@@ -191,7 +231,13 @@ def avhubert_encode(
     audio: Optional[jax.Array] = None,
     lengths: Optional[jax.Array] = None,
     train_mode: bool = False,
+    rng: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Full `extract_finetune` equivalent: (B, T, D) encoder output."""
+    """Full `extract_finetune` equivalent: (B, T, D) encoder output.
+    Passing rng enables train()-mode dropout/layerdrop (reference trains the
+    frozen encoder in train() mode)."""
     feats = avhubert_extract_features(params, cfg, video, audio, train_mode)
-    return avhubert_encoder(params, cfg, feats, lengths)
+    if rng is not None and cfg.dropout_input > 0.0:
+        k_in, rng = jax.random.split(rng)
+        feats = _dropout(k_in, feats, cfg.dropout_input)
+    return avhubert_encoder(params, cfg, feats, lengths, rng)

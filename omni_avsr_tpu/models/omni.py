@@ -127,10 +127,11 @@ class OmniAVSR:
         video: jax.Array,  # (B, T, H, W, 1)
         rate: int,
         train_mode: bool = False,
+        rng: Optional[jax.Array] = None,
     ) -> jax.Array:
         enc = avhubert_encode(
             params["avhubert"], self.cfg.avhubert, video.astype(jnp.bfloat16),
-            train_mode=train_mode,
+            train_mode=train_mode, rng=rng,
         )
         enc = compress(enc, rate, self.cfg.compression_mode)
         return project(params["video_proj"], enc, rate if self._per_rate else None)
@@ -209,6 +210,7 @@ class OmniAVSR:
         audio_trim_len: int,
         train_mode: bool = True,
         remat: bool = True,
+        dropout_rng: Optional[jax.Array] = None,
     ) -> Dict[str, jax.Array]:
         """Three-task training forward. Returns matry-weighted per-task
         losses (`modeling_OmniAVSR.py:263-306`)."""
@@ -220,7 +222,9 @@ class OmniAVSR:
         a = self.encode_audio(
             params, batch["audio"], batch["audio_len"], rate_audio, audio_trim_len
         ).astype(dtype)
-        v = self.encode_video(params, batch["video"], rate_video, train_mode).astype(dtype)
+        v = self.encode_video(
+            params, batch["video"], rate_video, train_mode, rng=dropout_rng
+        ).astype(dtype)
 
         losses = {}
         for i, m in enumerate(MODALITIES):

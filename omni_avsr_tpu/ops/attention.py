@@ -30,6 +30,8 @@ def dot_product_attention(
     mask: Optional[jax.Array] = None,  # bool (B, 1|Hq, T, S); True = attend
     scale: Optional[float] = None,
     impl: str = "xla",
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
 ) -> jax.Array:
     """Grouped-query attention. Returns (B, T, Hq, D).
 
@@ -72,6 +74,9 @@ def dot_product_attention(
                 logits = logits + madd.reshape(B, Hkv, G, T, -1)
 
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep.astype(probs.dtype) / (1.0 - dropout_rate)
     out = jnp.einsum("bhgts,bshd->bthgd", probs, v)
     return out.reshape(B, T, Hq, D)
 

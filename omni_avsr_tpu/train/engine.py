@@ -107,9 +107,11 @@ class OmniEngine:
         weights = self.cfg.matry_weights
 
         def loss_fn(params, batch, rng, rate_a, rate_v, trim_len):
-            proc = self._preprocess(batch, rng, train=is_train)
+            k_aug, k_drop = jax.random.split(rng)
+            proc = self._preprocess(batch, k_aug, train=is_train)
             losses = model.train_losses(
-                params, proc, rate_a, rate_v, trim_len, train_mode=is_train
+                params, proc, rate_a, rate_v, trim_len, train_mode=is_train,
+                dropout_rng=k_drop if is_train else None,
             )
             total = (losses["audio"] + losses["video"] + losses["audiovisual"]) / 3.0
             return total, losses

@@ -220,3 +220,21 @@ def test_avhubert_full_encode_shapes():
     audio = jnp.zeros((1, 8, 26), jnp.float32)
     out_a = avhubert_encode(params, cfg, None, audio=audio)
     assert out_a.shape == (1, 8, 64)
+
+
+def test_avhubert_dropout_stochastic_and_eval_deterministic():
+    cfg = AVHubertConfig(
+        encoder_embed_dim=64, encoder_layers=2, encoder_heads=4,
+        encoder_ffn_dim=128, audio_feat_dim=26, lora_rank_divisor=16,
+        dropout=0.3, attention_dropout=0.3, dropout_input=0.3, layerdrop=0.5,
+    )
+    params = init_avhubert(jax.random.PRNGKey(0), cfg)
+    video = jnp.asarray(np.random.RandomState(1).randn(1, 6, 88, 88, 1).astype(np.float32))
+    # eval: deterministic
+    a = avhubert_encode(params, cfg, video)
+    b = avhubert_encode(params, cfg, video)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # train-mode rng: stochastic across keys
+    c = avhubert_encode(params, cfg, video, rng=jax.random.PRNGKey(1))
+    d = avhubert_encode(params, cfg, video, rng=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(c), np.asarray(d))
