@@ -31,7 +31,13 @@ import jax
 import jax.numpy as jnp
 
 from ..config import LLMConfig
-from ..models.llm import KVCache, embed_tokens, llm_decode_step, llm_prefill
+from ..models.llm import (
+    KVCache,
+    embed_tokens,
+    llm_decode_step,
+    llm_prefill,
+    llm_prefill_masked,
+)
 
 NEG = -1e9
 
@@ -40,22 +46,42 @@ def _embed(params, ids: jax.Array, dtype) -> jax.Array:
     return embed_tokens(params, ids, dtype)
 
 
+def _prefill(params, cfg, prefix_embeds, prefix_len, key_valid, cache, modality):
+    """Dispatch contiguous vs gap-tolerant prefill. Returns
+    (logits, cache, n_valid)."""
+    B, P, _ = prefix_embeds.shape
+    if key_valid is None:
+        logits, cache = llm_prefill(params, cfg, prefix_embeds, prefix_len, cache, modality)
+        return logits, cache, prefix_len
+    n_valid = jnp.sum(key_valid, axis=1).astype(jnp.int32)
+    positions = (jnp.cumsum(key_valid, axis=1) - 1).astype(jnp.int32)
+    rev_arg = jnp.argmax(key_valid[:, ::-1].astype(jnp.int32), axis=1)
+    last_idx = (P - 1 - rev_arg).astype(jnp.int32)
+    logits, cache = llm_prefill_masked(
+        params, cfg, prefix_embeds, key_valid, positions, last_idx, cache, modality
+    )
+    return logits, cache, n_valid
+
+
 def greedy_decode(
     params,
     cfg: LLMConfig,
     prefix_embeds: jax.Array,  # (B, P, D) padded prefix
-    prefix_len: jax.Array,  # (B,)
+    prefix_len: Optional[jax.Array] = None,  # (B,) contiguous-prefix lengths
     *,
     max_new: int,
     eos_id: int,
     pad_id: int,
     modality: Optional[str] = None,
+    key_valid: Optional[jax.Array] = None,  # (B, P) gap-tolerant validity
     cache_dtype=jnp.bfloat16,
 ) -> jax.Array:
     """Returns (B, max_new) generated ids, pad_id after EOS."""
     B, P, D = prefix_embeds.shape
     cache = KVCache.create(cfg, B, P + max_new, dtype=cache_dtype)
-    logits, cache = llm_prefill(params, cfg, prefix_embeds, prefix_len, cache, modality)
+    logits, cache, n_valid = _prefill(
+        params, cfg, prefix_embeds, prefix_len, key_valid, cache, modality
+    )
 
     def step(carry, t):
         cache, logits, done = carry
@@ -64,7 +90,7 @@ def greedy_decode(
         done = done | (tok == eos_id)
         emb = _embed(params, tok[:, None], prefix_embeds.dtype)
         logits, cache = llm_decode_step(
-            params, cfg, emb, t, prefix_len, P, cache, modality
+            params, cfg, emb, t, n_valid, P, cache, modality, key_valid=key_valid
         )
         return (cache, logits, done), tok
 
@@ -78,7 +104,7 @@ def beam_search(
     params,
     cfg: LLMConfig,
     prefix_embeds: jax.Array,  # (B, P, D)
-    prefix_len: jax.Array,  # (B,)
+    prefix_len: Optional[jax.Array] = None,  # (B,)
     *,
     num_beams: int,
     max_new: int,
@@ -87,6 +113,7 @@ def beam_search(
     modality: Optional[str] = None,
     length_penalty: float = 1.0,
     no_repeat_ngram_size: int = 0,
+    key_valid: Optional[jax.Array] = None,  # (B, P) gap-tolerant validity
     cache_dtype=jnp.bfloat16,
 ) -> jax.Array:
     """Returns (B, max_new) best-hypothesis ids, pad_id after the content.
@@ -102,12 +129,15 @@ def beam_search(
 
     # prefill once per batch item, then tile the cache across beams
     cache = KVCache.create(cfg, B, P + max_new, dtype=cache_dtype)
-    logits0, cache = llm_prefill(params, cfg, prefix_embeds, prefix_len, cache, modality)
+    logits0, cache, n_valid = _prefill(
+        params, cfg, prefix_embeds, prefix_len, key_valid, cache, modality
+    )
     cache = KVCache(
         jnp.repeat(cache.k, K, axis=1),  # (L, B*K, S, H, hd)
         jnp.repeat(cache.v, K, axis=1),
     )
-    prefix_len_bk = jnp.repeat(prefix_len, K, axis=0)
+    prefix_len_bk = jnp.repeat(n_valid, K, axis=0)
+    key_valid_bk = jnp.repeat(key_valid, K, axis=0) if key_valid is not None else None
 
     logits = jnp.repeat(logits0[:, None], K, axis=1)  # (B, K, V)
     cum = jnp.tile(jnp.array([0.0] + [NEG] * (K - 1), jnp.float32), (B, 1))  # (B, K)
@@ -186,7 +216,8 @@ def beam_search(
 
         emb = _embed(params, new_tok.reshape(B * K, 1), dtype)
         step_logits, cache = llm_decode_step(
-            params, cfg, emb, t, prefix_len_bk, P, cache, modality
+            params, cfg, emb, t, prefix_len_bk, P, cache, modality,
+            key_valid=key_valid_bk,
         )
         return (cache, step_logits.reshape(B, K, V), new_cum, tokens, heap), None
 

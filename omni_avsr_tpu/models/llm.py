@@ -318,27 +318,44 @@ class KVCache(NamedTuple):
 def llm_prefill(
     params: Params,
     cfg: LLMConfig,
-    inputs_embeds: jax.Array,  # (B, P) padded prefix
+    inputs_embeds: jax.Array,  # (B, P, H) padded prefix
     prefix_len: jax.Array,  # (B,) actual lengths (<= P)
     cache: KVCache,
     modality: Optional[str] = None,
 ) -> Tuple[jax.Array, KVCache]:
-    """Run the padded prefix through the stack, filling cache slots [0, P).
+    """Contiguous-prefix prefill: valid tokens occupy slots [0, prefix_len).
+    Returns logits at the last valid position, (B, V)."""
+    B, P, _ = inputs_embeds.shape
+    key_valid = jnp.arange(P)[None] < prefix_len[:, None]
+    positions = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (B, P))
+    last_idx = jnp.clip(prefix_len - 1, 0, P - 1)
+    return llm_prefill_masked(
+        params, cfg, inputs_embeds, key_valid, positions, last_idx, cache, modality
+    )
 
-    Returns logits at the *last valid* prefix position, (B, V).
-    Positions are 0..P-1; pad slots are masked out as keys so their
-    (garbage) cache entries are never read.
+
+def llm_prefill_masked(
+    params: Params,
+    cfg: LLMConfig,
+    inputs_embeds: jax.Array,  # (B, P, H)
+    key_valid: jax.Array,  # (B, P) bool — which prefix slots are real tokens
+    positions: jax.Array,  # (B, P) int32 — rope positions (gaps collapsed)
+    last_idx: jax.Array,  # (B,) slot holding the final prefix token
+    cache: KVCache,
+    modality: Optional[str] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Gap-tolerant prefill: the prefix may have invalid slots anywhere
+    (e.g. per-sample audio/video token counts inside a static layout).
+    Masked slots never act as keys; positions are caller-collapsed cumsums,
+    so the model sees exactly the compacted sequence.
     """
     B, P, _ = inputs_embeds.shape
-    positions = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (B, P))
     cos, sin = rope_cos_sin(cfg, positions)
     S = cache.max_len
-    # queries: causal over prefix; keys: cache slots [0, P) valid if < prefix_len
-    key_pos = jnp.arange(S)
-    key_valid = (key_pos[None] < prefix_len[:, None])  # (B, S)
+    kv = jnp.pad(key_valid, ((0, 0), (0, S - P)))  # generated slots invalid at prefill
     qmask = combine_masks(
-        causal_mask(P, S),  # (1,1,P,S); key slot j attendable by query i iff j<=i
-        key_valid[:, None, None, :],
+        causal_mask(P, S),  # slot order == logical order, so causal-by-slot is exact
+        kv[:, None, None, :],
     )
 
     def body(x, layer_and_cache):
@@ -353,8 +370,7 @@ def llm_prefill(
         body, inputs_embeds, (params["layers"], cache.k, cache.v)
     )
     logits = lm_head(params, cfg, x)  # (B, P, V)
-    last = jnp.clip(prefix_len - 1, 0, P - 1)
-    last_logits = jnp.take_along_axis(logits, last[:, None, None], axis=1)[:, 0]
+    last_logits = jnp.take_along_axis(logits, last_idx[:, None, None], axis=1)[:, 0]
     return last_logits, KVCache(new_k, new_v)
 
 
@@ -363,10 +379,11 @@ def llm_decode_step(
     cfg: LLMConfig,
     token_embeds: jax.Array,  # (B, 1, H)
     step: jax.Array,  # scalar int32: index of this generated token (0-based)
-    prefix_len: jax.Array,  # (B,)
+    prefix_len: jax.Array,  # (B,) — number of VALID prefix tokens
     prefill_pad: int,  # static P (prefix slots in the cache)
     cache: KVCache,
     modality: Optional[str] = None,
+    key_valid: Optional[jax.Array] = None,  # (B, P) for gap-tolerant prefixes
 ) -> Tuple[jax.Array, KVCache]:
     """One greedy/beam decode step. Writes cache slot P+step; position is
     prefix_len + step (matching HF position semantics on the unpadded
@@ -376,10 +393,13 @@ def llm_decode_step(
     cos, sin = rope_cos_sin(cfg, positions)
     S = cache.max_len
     key_pos = jnp.arange(S)
-    key_valid = (key_pos[None] < prefix_len[:, None]) | (
-        (key_pos[None] >= prefill_pad) & (key_pos[None] <= prefill_pad + step)
-    )
-    mask = key_valid[:, None, None, :]  # (B,1,1,S)
+    gen_valid = (key_pos[None] >= prefill_pad) & (key_pos[None] <= prefill_pad + step)
+    if key_valid is not None:
+        pv = jnp.pad(key_valid, ((0, 0), (0, S - prefill_pad)))
+        kv_mask = pv | gen_valid
+    else:
+        kv_mask = (key_pos[None] < prefix_len[:, None]) | gen_valid
+    mask = kv_mask[:, None, None, :]  # (B,1,1,S)
     cache_index = prefill_pad + step
 
     def body(x, layer_and_cache):

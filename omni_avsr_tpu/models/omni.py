@@ -305,3 +305,61 @@ class OmniAVSR:
             text_emb = jnp.zeros((B, 0, cfg.llm.hidden_size), dtype)
         embeds, _ = self._assemble_task(params, modality, tuple(parts), text_emb, None)
         return embeds
+
+    def infer_prefix_masked(
+        self,
+        params: Params,
+        batch: Dict[str, jax.Array],
+        modality: str,
+        rate_audio: Optional[int] = None,
+        rate_video: Optional[int] = None,
+        audio_trim_max: Optional[int] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Decode prefix with PER-SAMPLE exact audio/video token counts
+        inside a static layout: returns (embeds (B,P,D), key_valid (B,P)).
+
+        Feature slots beyond a sample's own count are masked out of
+        attention and positions collapse over the gaps, so a batched decode
+        reproduces the reference's batch-size-1 semantics exactly —
+        including the per-utterance whisper trim `max(int(len/16000*50),25)`
+        (`modeling_OmniAVSR.py:536-537`) that the bucketed contiguous path
+        can only approximate.
+        """
+        cfg = self.cfg
+        dtype = jnp.bfloat16
+        if "audio" in batch:
+            B = batch["audio"].shape[0]
+        else:
+            B = batch["video"].shape[0]
+        d = self._delim_embeds(params, B, dtype)
+        prompt = self._prompt_embeds(params, modality, B, dtype)
+        blocks = []
+        valids = []
+
+        def const_valid(x):
+            blocks.append(x)
+            valids.append(jnp.ones((B, x.shape[1]), bool))
+
+        if cfg.llm.family == "llama":
+            const_valid(embed_tokens(
+                params["llm"], jnp.full((B, 1), self.tok.bos_id, jnp.int32), dtype
+            ))
+        if modality in ("audio", "audiovisual"):
+            a = self.encode_audio(
+                params, batch["audio"], batch["audio_len"], rate_audio, audio_trim_max
+            ).astype(dtype)
+            trim_i = whisper_token_len(batch["audio_len"])  # (B,)
+            n_a = (trim_i // rate_audio).astype(jnp.int32)
+            const_valid(d["audio_sos"])
+            blocks.append(a)
+            valids.append(jnp.arange(a.shape[1])[None] < n_a[:, None])
+            const_valid(d["audio_eos"])
+        if modality in ("video", "audiovisual"):
+            v = self.encode_video(params, batch["video"], rate_video, False).astype(dtype)
+            n_v = (batch["video_len"] // rate_video).astype(jnp.int32)
+            const_valid(d["video_sos"])
+            blocks.append(v)
+            valids.append(jnp.arange(v.shape[1])[None] < n_v[:, None])
+            const_valid(d["video_eos"])
+        const_valid(prompt)
+        return jnp.concatenate(blocks, axis=1), jnp.concatenate(valids, axis=1)

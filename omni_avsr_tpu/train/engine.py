@@ -250,23 +250,26 @@ class OmniEngine:
         @jax.jit
         def fn(params, batch, rng):
             proc = self._preprocess(batch, rng, train=False)
-            prefix = model.infer_prefix(
+            # gap-tolerant prefix: per-sample exact audio/video token counts
+            # (reference batch-size-1 semantics even in batched decode)
+            prefix, key_valid = model.infer_prefix_masked(
                 params, proc, modality, rate_a, rate_v, trim_len
             )
             B, P0, D = prefix.shape
             P = _round_up(P0, 16)
             prefix = jnp.pad(prefix, ((0, 0), (0, P - P0), (0, 0)))
-            plen = jnp.full((B,), P0, jnp.int32)
+            key_valid = jnp.pad(key_valid, ((0, 0), (0, P - P0)))
             if num_beams <= 1:
                 return greedy_decode(
-                    params["llm"], cfg.llm, prefix, plen,
+                    params["llm"], cfg.llm, prefix,
                     max_new=max_new, eos_id=tok.eos_id, pad_id=tok.pad_id,
-                    modality=lora_mod,
+                    modality=lora_mod, key_valid=key_valid,
                 )
             return beam_search(
-                params["llm"], cfg.llm, prefix, plen,
+                params["llm"], cfg.llm, prefix,
                 num_beams=num_beams, max_new=max_new,
                 eos_id=tok.eos_id, pad_id=tok.pad_id, modality=lora_mod,
+                key_valid=key_valid,
             )
 
         self._decode_fns[key] = fn

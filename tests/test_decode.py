@@ -124,6 +124,43 @@ def test_greedy_parity(tiny_pair):
     _compare(ours, ref, eos_id, pad_id, max_new)
 
 
+def test_masked_prefix_equals_compact(tiny_pair):
+    """A prefix with interior gaps (key_valid) must decode exactly like the
+    compacted sequence — the mechanism behind per-sample trim in batched
+    decode."""
+    hf, cfg, params = tiny_pair
+    rng = np.random.RandomState(7)
+    D, max_new, eos_id, pad_id = 64, 6, 5, 0
+    # two samples: token slots [bos][feat x 4][tail x 2] with per-sample
+    # valid feature counts 4 and 2
+    feats = rng.randn(2, 7, D).astype(np.float32) * 0.5
+    valid = np.ones((2, 7), bool)
+    valid[1, 3:5] = False  # sample 1: gaps in the middle
+
+    masked = greedy_decode(
+        params, cfg, jnp.asarray(feats), max_new=max_new, eos_id=eos_id,
+        pad_id=pad_id, key_valid=jnp.asarray(valid), cache_dtype=jnp.float32,
+    )
+    masked_beam = beam_search(
+        params, cfg, jnp.asarray(feats), num_beams=3, max_new=max_new,
+        eos_id=eos_id, pad_id=pad_id, key_valid=jnp.asarray(valid),
+        cache_dtype=jnp.float32,
+    )
+    for b in range(2):
+        compact = feats[b][valid[b]][None]  # (1, n_valid, D)
+        ref = greedy_decode(
+            params, cfg, jnp.asarray(compact), jnp.array([compact.shape[1]]),
+            max_new=max_new, eos_id=eos_id, pad_id=pad_id, cache_dtype=jnp.float32,
+        )
+        np.testing.assert_array_equal(np.asarray(masked)[b], np.asarray(ref)[0])
+        ref_beam = beam_search(
+            params, cfg, jnp.asarray(compact), jnp.array([compact.shape[1]]),
+            num_beams=3, max_new=max_new, eos_id=eos_id, pad_id=pad_id,
+            cache_dtype=jnp.float32,
+        )
+        np.testing.assert_array_equal(np.asarray(masked_beam)[b], np.asarray(ref_beam)[0])
+
+
 def test_beam_no_repeat_ngram(tiny_pair):
     """no_repeat_ngram_size parity vs HF generate."""
     hf, cfg, params = tiny_pair
