@@ -33,8 +33,10 @@ import jax.numpy as jnp
 from ..config import LLMConfig
 from ..models.llm import (
     KVCache,
+    SplitCache,
     embed_tokens,
     llm_decode_step,
+    llm_decode_step_beam,
     llm_prefill,
     llm_prefill_masked,
 )
@@ -127,17 +129,18 @@ def beam_search(
     V = cfg.vocab_size
     dtype = prefix_embeds.dtype
 
-    # prefill once per batch item, then tile the cache across beams
-    cache = KVCache.create(cfg, B, P + max_new, dtype=cache_dtype)
-    logits0, cache, n_valid = _prefill(
-        params, cfg, prefix_embeds, prefix_len, key_valid, cache, modality
+    # prefill once per batch item; the prefix K/V stays shared across beams
+    # (SplitCache) so beam reordering never re-copies it
+    cache0 = KVCache.create(cfg, B, P, dtype=cache_dtype)
+    logits0, cache0, n_valid = _prefill(
+        params, cfg, prefix_embeds, prefix_len, key_valid, cache0, modality
     )
-    cache = KVCache(
-        jnp.repeat(cache.k, K, axis=1),  # (L, B*K, S, H, hd)
-        jnp.repeat(cache.v, K, axis=1),
-    )
+    cache = SplitCache.from_prefill(cache0, P, K, max_new)
     prefix_len_bk = jnp.repeat(n_valid, K, axis=0)
-    key_valid_bk = jnp.repeat(key_valid, K, axis=0) if key_valid is not None else None
+    prefix_mask = (
+        key_valid if key_valid is not None
+        else jnp.arange(P)[None] < n_valid[:, None]
+    )
 
     logits = jnp.repeat(logits0[:, None], K, axis=1)  # (B, K, V)
     cum = jnp.tile(jnp.array([0.0] + [NEG] * (K - 1), jnp.float32), (B, 1))  # (B, K)
@@ -206,18 +209,17 @@ def beam_search(
         new_parent = jnp.take_along_axis(parent, top_run, axis=1)  # (B, K)
         new_tok = jnp.take_along_axis(tok, top_run, axis=1)  # (B, K)
 
-        # reorder token buffers + cache by parent beam
+        # reorder token buffers + the generated cache region by parent beam
         tokens = jnp.take_along_axis(tokens, new_parent[:, :, None], axis=1)
         tokens = jax.lax.dynamic_update_slice(
             tokens, new_tok[:, :, None], (0, 0, t)
         )
         flat_idx = (batch_offsets + new_parent).reshape(-1)  # (B*K,)
-        cache = KVCache(cache.k[:, flat_idx], cache.v[:, flat_idx])
+        cache = cache.reorder(flat_idx)
 
         emb = _embed(params, new_tok.reshape(B * K, 1), dtype)
-        step_logits, cache = llm_decode_step(
-            params, cfg, emb, t, prefix_len_bk, P, cache, modality,
-            key_valid=key_valid_bk,
+        step_logits, cache = llm_decode_step_beam(
+            params, cfg, emb, t, prefix_len_bk, prefix_mask, cache, K, modality
         )
         return (cache, step_logits.reshape(B, K, V), new_cum, tokens, heap), None
 

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import LLMConfig, LoRAConfig, MODALITIES
-from ..ops.attention import causal_mask, combine_masks, dot_product_attention
+from ..ops.attention import NEG_INF, causal_mask, combine_masks, dot_product_attention
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_cos_sin
 from .common import (
@@ -296,6 +296,14 @@ def llm_loss(
 
 # ---------------------------------------------------------------------------
 # KV-cache decoding
+#
+# Two layouts:
+#   KVCache          — one contiguous buffer (prefix + generated slots).
+#   Split beam cache — the prefix K/V is stored ONCE per batch item
+#     (L, B, P, Hkv, D) and shared by all beams; only the generated-token
+#     cache (L, B*K, max_new, Hkv, D) is per-beam. Beam reordering then
+#     gathers ~P/max_new x less memory, and attention merges the two
+#     segments with an exact online-softmax (flash-style) combination.
 # ---------------------------------------------------------------------------
 
 
@@ -372,6 +380,125 @@ def llm_prefill_masked(
     logits = lm_head(params, cfg, x)  # (B, P, V)
     last_logits = jnp.take_along_axis(logits, last_idx[:, None, None], axis=1)[:, 0]
     return last_logits, KVCache(new_k, new_v)
+
+
+class SplitCache(NamedTuple):
+    """Beam-decode cache: shared prefix + per-beam generated tokens."""
+
+    prefix_k: jax.Array  # (L, B, P, Hkv, D)
+    prefix_v: jax.Array
+    gen_k: jax.Array  # (L, B*K, N, Hkv, D)
+    gen_v: jax.Array
+
+    @classmethod
+    def from_prefill(cls, cache: "KVCache", prefix_pad: int, num_beams: int,
+                     max_new: int) -> "SplitCache":
+        L, B, S, H, D = cache.k.shape
+        zeros = jnp.zeros((L, B * num_beams, max_new, H, D), cache.k.dtype)
+        return cls(cache.k[:, :, :prefix_pad], cache.v[:, :, :prefix_pad],
+                   zeros, jnp.zeros_like(zeros))
+
+    def reorder(self, flat_idx: jax.Array) -> "SplitCache":
+        """Permute only the generated region by beam parent index."""
+        return SplitCache(self.prefix_k, self.prefix_v,
+                          self.gen_k[:, flat_idx], self.gen_v[:, flat_idx])
+
+
+def _merged_beam_attention(
+    cfg: LLMConfig,
+    q: jax.Array,  # (B*K, 1, Hq, D)
+    pk: jax.Array,  # (B, P, Hkv, D) shared prefix keys
+    pv: jax.Array,
+    gk: jax.Array,  # (B*K, N, Hkv, D) per-beam generated keys
+    gv: jax.Array,
+    prefix_mask: jax.Array,  # (B, P) bool
+    gen_mask: jax.Array,  # (N,) bool — slots <= step
+    num_beams: int,
+) -> jax.Array:
+    """Exact attention over [shared prefix | per-beam generated] without
+    materialising the prefix per beam: two logit blocks merged through a
+    joint softmax in f32."""
+    BK, _, Hq, D = q.shape
+    B = BK // num_beams
+    K = num_beams
+    Hkv = pk.shape[2]
+    G = Hq // Hkv
+    scale = jnp.float32(D ** -0.5)
+
+    qg = q.reshape(B, K, Hkv, G, D)
+    lp = jnp.einsum("bkhgd,bphd->bkhgp", qg, pk, preferred_element_type=jnp.float32)
+    lp = lp * scale + jnp.where(prefix_mask, 0.0, NEG_INF)[:, None, None, None, :]
+    qg2 = q.reshape(BK, Hkv, G, D)
+    lg = jnp.einsum("khgd,knhd->khgn", qg2, gk, preferred_element_type=jnp.float32)
+    lg = (lg * scale).reshape(B, K, Hkv, G, -1)
+    lg = lg + jnp.where(gen_mask, 0.0, NEG_INF)[None, None, None, None, :]
+
+    m = jnp.maximum(jnp.max(lp, axis=-1), jnp.max(lg, axis=-1))[..., None]
+    ep, eg = jnp.exp(lp - m), jnp.exp(lg - m)
+    denom = jnp.sum(ep, axis=-1) + jnp.sum(eg, axis=-1)  # (B,K,Hkv,G)
+    op = jnp.einsum("bkhgp,bphd->bkhgd", ep.astype(pv.dtype), pv)
+    og = jnp.einsum("khgn,knhd->khgd",
+                    eg.reshape(BK, Hkv, G, -1).astype(gv.dtype), gv).reshape(B, K, Hkv, G, D)
+    out = (op + og) / denom[..., None].astype(pv.dtype)
+    return out.reshape(BK, 1, Hq, D)
+
+
+def llm_decode_step_beam(
+    params: Params,
+    cfg: LLMConfig,
+    token_embeds: jax.Array,  # (B*K, 1, H)
+    step: jax.Array,
+    n_valid: jax.Array,  # (B*K,) valid prefix token counts (positions)
+    prefix_mask: jax.Array,  # (B, P) bool — valid prefix slots
+    cache: SplitCache,
+    num_beams: int,
+    modality: Optional[str] = None,
+) -> Tuple[jax.Array, SplitCache]:
+    """Beam decode step on the split cache. Returns ((B*K, V), cache)."""
+    BK = token_embeds.shape[0]
+    positions = (n_valid + step)[:, None].astype(jnp.int32)
+    cos, sin = rope_cos_sin(cfg, positions)
+    N = cache.gen_k.shape[2]
+    gen_mask = jnp.arange(N) <= step
+
+    def body(x, layer_and_cache):
+        layer, pk, pv, gk, gv = layer_and_cache
+        h = rms_norm(x, layer["input_norm"]["scale"], cfg.rms_norm_eps)
+        attn = layer["attn"]
+        q = linear(h, attn["q"])
+        k = linear(h, attn["k"])
+        v = linear(h, attn["v"])
+        if cfg.lora is not None:
+            scaling = cfg.lora.scaling
+            if cfg.lora.task_specific:
+                dq, dv = _lora_delta(h, layer["lora"][modality], scaling)
+                if cfg.lora.shared:
+                    dqs, dvs = _lora_delta(h, layer["lora_shared"], scaling)
+                    dq, dv = dq + dqs, dv + dvs
+            else:
+                dq, dv = _lora_delta(h, layer["lora"], scaling)
+            q, v = q + dq, v + dv
+        q = q.reshape(BK, 1, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(BK, 1, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(BK, 1, cfg.num_kv_heads, cfg.head_dim)
+        q, k = apply_rope(q, k, cos, sin)
+        gk = jax.lax.dynamic_update_slice(gk, k.astype(gk.dtype), (0, step, 0, 0))
+        gv = jax.lax.dynamic_update_slice(gv, v.astype(gv.dtype), (0, step, 0, 0))
+        out = _merged_beam_attention(
+            cfg, q, pk.astype(q.dtype), pv.astype(q.dtype), gk.astype(q.dtype),
+            gv.astype(q.dtype), prefix_mask, gen_mask, num_beams,
+        )
+        x = x + linear(out.reshape(BK, 1, cfg.q_dim), attn["o"])
+        h2 = rms_norm(x, layer["post_attn_norm"]["scale"], cfg.rms_norm_eps)
+        x = x + _mlp_block(layer, h2)
+        return x, (gk, gv)
+
+    x, (new_gk, new_gv) = jax.lax.scan(
+        body, token_embeds,
+        (params["layers"], cache.prefix_k, cache.prefix_v, cache.gen_k, cache.gen_v),
+    )
+    logits = lm_head(params, cfg, x)[:, 0]
+    return logits, SplitCache(cache.prefix_k, cache.prefix_v, new_gk, new_gv)
 
 
 def llm_decode_step(
