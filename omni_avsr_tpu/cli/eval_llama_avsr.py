@@ -35,6 +35,8 @@ def parse_args(argv=None):
     p.add_argument("--prompt", default="Transcribe speech to text.")
     p.add_argument("--downsample-ratio-test-matry", type=int, nargs="+", default=None,
                    help="[rate] or [video_rate, audio_rate] for AVSR")
+    p.add_argument("--test-batch-size", type=int, default=1,
+                   help="decode N utterances at once (masked prefix keeps batch-1 semantics)")
     p.add_argument("--print-hyp", type=str2bool, default=True)
     args = p.parse_args(argv)
     args.prompt_audio = args.prompt_video = args.prompt_audiovisual = args.prompt
@@ -71,7 +73,7 @@ def main(argv=None):
     dm = DataModule(data_cfg, model.tok, modality=args.modality)
     for ra, rv in grid:
         acc = WerAccumulator()
-        for batch in dm.test_batches():
+        for batch in dm.test_batches(args.test_batch_size):
             hyps = engine.decode_batch(merged, batch, args.modality, ra, rv)
             for ref, hyp in zip(batch["gold_text"], hyps):
                 acc.update(ref, hyp)

@@ -38,6 +38,8 @@ def parse_args(argv=None):
                    choices=[None, "audio", "video", "audiovisual"])
     p.add_argument("--test-specific-ratio", type=int, nargs="+", default=None,
                    help="[audio_rate] / [video_rate] / [audio_rate video_rate]")
+    p.add_argument("--test-batch-size", type=int, default=1,
+                   help="decode N utterances at once (masked prefix keeps batch-1 semantics)")
     p.add_argument("--print-hyp", type=str2bool, default=True,
                    help="print gold vs generated per sample (`lightning:203-204`)")
     return p.parse_args(argv)
@@ -91,7 +93,7 @@ def main(argv=None):
         dm = DataModule(data_cfg, model.tok, modality=task)
         for ra, rv in rate_grid(args, model, task):
             acc = WerAccumulator()
-            for batch in dm.test_batches():
+            for batch in dm.test_batches(args.test_batch_size):
                 hyps = engine.decode_batch(merged, batch, task, ra, rv)
                 for ref, hyp in zip(batch["gold_text"], hyps):
                     acc.update(ref, hyp)

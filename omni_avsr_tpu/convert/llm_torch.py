@@ -100,11 +100,6 @@ def convert_llm(
 
     import jax
 
-    def cast(path_is_lora):
-        def f(subtree, dt):
-            return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dt), subtree)
-        return f
-
     out = {}
     for k, v in params.items():
         out[k] = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), v)
