@@ -99,7 +99,9 @@ def main(argv=None):
     for epoch in range(start_epoch, args.max_epochs):
         t0 = time.time()
         n, loss_sum, loss_n = 0, 0.0, 0
-        for batch in dm.train_batches(epoch):
+        from ..utils.prefetch import device_prefetch
+
+        for batch in device_prefetch(dm.train_batches(epoch)):
             with trace(args.profile_dir if (epoch == start_epoch and 2 <= n <= 4) else None):
                 loss = engine.train_step(batch)
             timer.tick()
