@@ -78,28 +78,41 @@ def greedy_decode(
     key_valid: Optional[jax.Array] = None,  # (B, P) gap-tolerant validity
     cache_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """Returns (B, max_new) generated ids, pad_id after EOS."""
+    """Returns (B, max_new) generated ids, pad_id after EOS.
+
+    Early exit: a `lax.while_loop` stops as soon as every sequence has
+    emitted EOS — real transcripts average well under the 32-token bound
+    (`max_dec_tokens`), so this cuts the sequential decode-step count
+    (the latency-dominant part of RTF) to the actual transcript length.
+    """
     B, P, D = prefix_embeds.shape
     cache = KVCache.create(cfg, B, P + max_new, dtype=cache_dtype)
     logits, cache, n_valid = _prefill(
         params, cfg, prefix_embeds, prefix_len, key_valid, cache, modality
     )
+    tokens0 = jnp.full((B, max_new), pad_id, jnp.int32)
 
-    def step(carry, t):
-        cache, logits, done = carry
+    def cond(state):
+        t, _, _, done, _ = state
+        return (t < max_new) & ~jnp.all(done)
+
+    def body(state):
+        t, cache, logits, done, tokens = state
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         tok = jnp.where(done, pad_id, tok)
         done = done | (tok == eos_id)
+        tokens = jax.lax.dynamic_update_slice(tokens, tok[:, None], (0, t))
         emb = _embed(params, tok[:, None], prefix_embeds.dtype)
         logits, cache = llm_decode_step(
             params, cfg, emb, t, n_valid, P, cache, modality, key_valid=key_valid
         )
-        return (cache, logits, done), tok
+        return (t + 1, cache, logits, done, tokens)
 
-    (_, _, _), toks = jax.lax.scan(
-        step, (cache, logits, jnp.zeros((B,), bool)), jnp.arange(max_new, dtype=jnp.int32)
+    _, _, _, _, tokens = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), cache, logits, jnp.zeros((B,), bool), tokens0),
     )
-    return toks.T  # (B, max_new)
+    return tokens
 
 
 def beam_search(
