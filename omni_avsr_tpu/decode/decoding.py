@@ -237,8 +237,29 @@ def beam_search(
         return (cache, step_logits.reshape(B, K, V), new_cum, tokens, heap), None
 
     heap = (hyp_scores, hyp_tokens, hyp_lens)
-    (cache, logits, cum, tokens, heap), _ = jax.lax.scan(
-        step, (cache, logits, cum, tokens, heap), jnp.arange(max_new, dtype=jnp.int32)
+
+    def cond(state):
+        t, _, _, cum, _, heap = state
+        if max_new <= 1:
+            return t < max_new
+        h_s = heap[0]
+        # no future hypothesis can beat the worst kept one: a running beam's
+        # best attainable normalized score is cum / max_new (cum only
+        # decreases; normalizer only grows). Sound for length_penalty >= 0.
+        best_attainable = jnp.max(cum, axis=1) / (jnp.float32(max_new) ** length_penalty)
+        worst_kept = jnp.min(h_s, axis=1)
+        done = jnp.all(worst_kept >= best_attainable)
+        return (t < max_new) & ~done
+
+    def body(state):
+        t, cache, logits, cum, tokens, heap = state
+        (cache, logits, cum, tokens, heap), _ = step(
+            (cache, logits, cum, tokens, heap), t
+        )
+        return (t + 1, cache, logits, cum, tokens, heap)
+
+    _, cache, logits, cum, tokens, heap = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), cache, logits, cum, tokens, heap)
     )
 
     # offer the running beams (full length, no EOS) to the heap

@@ -1,0 +1,155 @@
+"""High-level serving API: one object, raw media in, transcript out.
+
+The reference has no serving layer (inference = eval scripts); this is the
+"switching user" entry point:
+
+    from omni_avsr_tpu.serve import Transcriber
+
+    t = Transcriber.from_pretrained("model_avg_4.pth", llm_model="meta-llama/Llama-3.2-1B")
+    text = t.transcribe(audio=waveform_16k)                      # ASR
+    text = t.transcribe(video=mouth_roi_frames)                  # VSR
+    text = t.transcribe(audio=waveform_16k, video=frames)        # AVSR
+    text = t.transcribe_file("clip.mp4")                         # preprocess + AVSR
+
+Decode programs are jit-cached per (modality, rates, shape bucket); repeat
+calls at similar lengths reuse compiled executables.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from .config import OmniConfig, TrainConfig
+from .data.tokenizer import TokenizerBundle, load_hf_tokenizer
+from .models.omni import OmniAVSR
+from .ops.audio_frontend import whisper_token_len
+from .train.engine import OmniEngine, _round_up
+
+
+class Transcriber:
+    def __init__(
+        self,
+        model: OmniAVSR,
+        params: Dict,
+        num_beams: Optional[int] = None,
+        max_new_tokens: Optional[int] = None,
+        video_pad_multiple: int = 32,
+    ):
+        self.model = model
+        self.engine = OmniEngine(model, params, TrainConfig(), 1.0, noise_bank=None)
+        self.params = self.engine.merged_params()
+        self.num_beams = num_beams if num_beams is not None else model.cfg.num_beams
+        self.max_new = max_new_tokens if max_new_tokens is not None else model.cfg.max_dec_tokens
+        self.video_pad_multiple = video_pad_multiple
+
+    # ------------------------------------------------------------- loading
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        checkpoint_path: str,
+        llm_model: str = "meta-llama/Llama-3.2-1B",
+        tokenizer: Optional[TokenizerBundle] = None,
+        cfg: Optional[OmniConfig] = None,
+        **kwargs,
+    ) -> "Transcriber":
+        """Load a trained reference .pth (or orbax dir) + tokenizer."""
+        from .config import LoRAConfig, LLM_REGISTRY, avhubert_large, default_v_divisor, whisper_medium_en
+        import dataclasses
+
+        tok = tokenizer if tokenizer is not None else load_hf_tokenizer(llm_model)
+        if cfg is None:
+            lora = LoRAConfig(rank_divisor=32, alpha=4, task_specific=True,
+                              v_out_divisor=default_v_divisor(llm_model))
+            cfg = OmniConfig(
+                llm_model=llm_model,
+                llm=LLM_REGISTRY[llm_model](lora=lora, vocab_size=tok.vocab_size),
+                whisper=whisper_medium_en(), avhubert=avhubert_large(),
+            )
+        model = OmniAVSR(cfg, tok)
+        if os.path.isdir(checkpoint_path):
+            from .train.checkpoint import restore_checkpoint
+            import jax
+
+            template = model.init_params(jax.random.PRNGKey(0))
+            params = restore_checkpoint(checkpoint_path, template)
+        else:
+            from .convert.omni_ckpt import convert_omni_checkpoint, load_torch_checkpoint
+
+            params = convert_omni_checkpoint(load_torch_checkpoint(checkpoint_path), cfg)
+        return cls(model, params, **kwargs)
+
+    # ---------------------------------------------------------- transcribe
+
+    def transcribe(
+        self,
+        audio: Optional[np.ndarray] = None,  # (S,) f32 @ 16 kHz
+        video: Optional[np.ndarray] = None,  # (T, 96, 96, C) uint8 mouth ROI
+        modality: Optional[str] = None,
+        rate_audio: Optional[int] = None,
+        rate_video: Optional[int] = None,
+        num_beams: Optional[int] = None,
+    ) -> str:
+        assert audio is not None or video is not None
+        if modality is None:
+            modality = ("audiovisual" if (audio is not None and video is not None)
+                        else "audio" if audio is not None else "video")
+        cfg = self.model.cfg
+        rate_audio = rate_audio or cfg.audio_rates[0]
+        rate_video = rate_video or cfg.video_rates[0]
+
+        batch: Dict[str, np.ndarray] = {}
+        if video is not None:
+            T = len(video)
+            Tp = _round_up(T, self.video_pad_multiple)
+            v = np.zeros((1, Tp) + video.shape[1:], np.uint8)
+            v[0, :T] = video
+            batch["video"] = v
+            batch["video_len"] = np.asarray([T], np.int32)
+        if audio is not None:
+            S = len(audio)
+            if video is not None:
+                Sp = batch["video"].shape[1] * 640
+            else:
+                Sp = _round_up(S, 640 * self.video_pad_multiple)
+            a = np.zeros((1, Sp), np.float32)
+            a[0, :min(S, Sp)] = audio[:Sp]
+            batch["audio"] = a
+            batch["audio_len"] = np.asarray([min(S, Sp)], np.int32)
+            batch["audio_trim_len"] = int(min(_round_up(whisper_token_len(Sp), 25), 1500))
+        hyps = self.engine.decode_batch(
+            self.params, batch, modality, rate_audio, rate_video,
+            num_beams=num_beams if num_beams is not None else self.num_beams,
+            max_new=self.max_new,
+        )
+        return hyps[0]
+
+    def transcribe_file(
+        self,
+        path: str,
+        preprocessed: bool = False,
+        detector: str = "auto",
+        **kwargs,
+    ) -> str:
+        """mp4 (+ sibling wav) -> transcript. With preprocessed=False the
+        mouth-ROI chain runs first (reference single-clip demo flow)."""
+        from .data.dataset import load_audio, load_video
+
+        frames = load_video(path)
+        try:
+            audio = load_audio(path)
+        except Exception:
+            audio = None
+        if not preprocessed:
+            from .preprocess.detector import build_detector
+            from .preprocess.mean_face import load_mean_face
+            from .preprocess.video_process import extract_mouth_rois
+
+            det = build_detector(detector)
+            frames = extract_mouth_rois(frames, det(frames), load_mean_face())
+        if audio is not None:
+            audio = audio[: len(frames) * 640]
+        return self.transcribe(audio=audio, video=frames, **kwargs)
