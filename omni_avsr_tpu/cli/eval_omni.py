@@ -38,6 +38,8 @@ def parse_args(argv=None):
                    choices=[None, "audio", "video", "audiovisual"])
     p.add_argument("--test-specific-ratio", type=int, nargs="+", default=None,
                    help="[audio_rate] / [video_rate] / [audio_rate video_rate]")
+    p.add_argument("--quantize-decode", default=None, choices=[None, "int8"],
+                   help="weight-only int8 LLM for decode (halves HBM weight traffic)")
     p.add_argument("--test-batch-size", type=int, default=1,
                    help="decode N utterances at once (masked prefix keeps batch-1 semantics)")
     p.add_argument("--print-hyp", type=str2bool, default=True,
@@ -78,6 +80,11 @@ def main(argv=None):
         noise_bank=noise, decode_snr_target=args.decode_snr_target, seed=args.seed,
     )
     merged = engine.merged_params()
+    if args.quantize_decode == "int8":
+        from ..ops.quant import quantize_llm_params
+
+        merged = dict(merged)
+        merged["llm"] = quantize_llm_params(merged["llm"])
 
     if args.test_specific_modality:
         tasks = [args.test_specific_modality]

@@ -21,9 +21,21 @@ Params = Dict[str, Any]
 
 
 def linear(x: jax.Array, p: Params) -> jax.Array:
-    """Apply a linear layer. p = {"w": (in,out)[, "b": (out,)]}"""
-    w = p["w"].astype(x.dtype)
-    y = x @ w
+    """Apply a linear layer. p = {"w": (in,out)[, "b": (out,)]}.
+
+    Transparently handles weight-only int8 leaves {"w": int8, "s": (out,)}
+    (ops/quant.py): the convert fuses into the matmul read so int8 is what
+    crosses HBM; the per-channel scale applies to the f32 accumulator.
+    """
+    w = p["w"]
+    if w.dtype == jnp.int8:
+        y = jnp.einsum(
+            "...i,io->...o", x, w.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        y = (y * p["s"].astype(jnp.float32)).astype(x.dtype)
+    else:
+        y = x @ w.astype(x.dtype)
     b = p.get("b")
     if b is not None:
         y = y + b.astype(x.dtype)

@@ -216,12 +216,24 @@ def embed_tokens(params: Params, ids: jax.Array, dtype=jnp.bfloat16) -> jax.Arra
 
 
 def lm_head(params: Params, cfg: LLMConfig, x: jax.Array) -> jax.Array:
-    """Final-norm + unembedding. Returns f32 logits (B, T, V)."""
+    """Final-norm + unembedding. Returns f32 logits (B, T, V).
+
+    An explicit "lm_head" entry wins over tied embeddings — the decode-time
+    quantizer (ops/quant.py) installs an int8 unembedding copy for tied
+    models while the bf16 embed table keeps serving token lookups."""
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
-    if cfg.tie_word_embeddings:
-        w = params["embed"]["w"].astype(x.dtype).T
-    else:
-        w = params["lm_head"]["w"].astype(x.dtype)
+    if "lm_head" in params:
+        head = params["lm_head"]
+        w = head["w"]
+        if w.dtype == jnp.int8:
+            logits = jnp.einsum(
+                "bth,hv->btv", x, w.astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return logits * head["s"][None, None, :].astype(jnp.float32)
+        return jnp.einsum("bth,hv->btv", x, w.astype(x.dtype),
+                          preferred_element_type=jnp.float32)
+    w = params["embed"]["w"].astype(x.dtype).T
     return jnp.einsum("bth,hv->btv", x, w, preferred_element_type=jnp.float32)
 
 

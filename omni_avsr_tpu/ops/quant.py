@@ -1,0 +1,138 @@
+"""Weight-only int8 quantization for the decode path.
+
+Single-token decode on the 1B decoder is weight-bandwidth-bound: every step
+streams ~2.5 GB of bf16 weights through HBM. Storing the frozen LLM matrices
+as int8 with per-output-channel scales halves that traffic (~2x step-time
+ceiling) at negligible WER cost (weight-only, symmetric per-channel).
+
+Two execution paths behind one param format {"w": int8 (in,out), "s": f32 (out,)}:
+  - XLA: (x @ w.astype(bf16)) * s — Mosaic/XLA fuses the convert into the
+    matmul operand read, so int8 is what leaves HBM.
+  - Pallas (`quantized_matmul`): explicit tiled kernel that DMAs int8 blocks
+    to VMEM, dequantises in-register, and accumulates f32 on the MXU — used
+    when profiling shows XLA materialising the bf16 weights.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_per_channel(w: jax.Array) -> Dict[str, jax.Array]:
+    """(in, out) float -> {"w": int8, "s": f32 per-out-channel scale}."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=0)  # (out,)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale[None, :]), -127, 127).astype(jnp.int8)
+    return {"w": q, "s": scale}
+
+
+def dequantize(q: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
+    return (q["w"].astype(jnp.float32) * q["s"][None, :]).astype(dtype)
+
+
+def quantized_linear_xla(x: jax.Array, q: Dict[str, jax.Array]) -> jax.Array:
+    """y = x @ dequant(w); XLA path (convert fused into matmul read)."""
+    w = q["w"].astype(x.dtype)
+    y = jnp.einsum("...i,io->...o", x, w, preferred_element_type=jnp.float32)
+    return (y * q["s"][None, :].astype(jnp.float32)).astype(x.dtype)
+
+
+def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]  # (BM, BK) bf16
+    w = w_ref[:].astype(jnp.bfloat16)  # (BK, BN) int8 -> bf16 in VMEM
+    acc_ref[:] += jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ik == n_k - 1)
+    def _finalize():
+        o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def quantized_matmul(
+    x: jax.Array,  # (M, K) bf16/f32
+    q: Dict[str, jax.Array],  # {"w": (K, N) int8, "s": (N,)}
+    block_m: int = 128,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas tiled int8-weight matmul; int8 is all that crosses HBM."""
+    M, K = x.shape
+    N = q["w"].shape[1]
+
+    def rup(a, m):
+        return ((a + m - 1) // m) * m
+
+    Mp, Kp, Np = rup(M, block_m), rup(K, block_k), rup(N, block_n)
+    xp = jnp.pad(x, ((0, Mp - M), (0, Kp - K)))
+    wp = jnp.pad(q["w"], ((0, Kp - K), (0, Np - N)))
+    sp = jnp.pad(q["s"], (0, Np - N)).reshape(1, Np)
+
+    grid = (Mp // block_m, Np // block_n, Kp // block_k)
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, n_k=grid[2]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
+        interpret=interpret,
+    )(xp, wp, sp)
+    return out[:M, :N]
+
+
+# ---------------------------------------------------------------------------
+# Param-tree quantization for decode
+# ---------------------------------------------------------------------------
+
+_QUANT_LEAF_PATHS = ("attn.q", "attn.k", "attn.v", "attn.o",
+                     "mlp.gate", "mlp.up", "mlp.down")
+
+
+def quantize_llm_params(params: Dict, quantize_unembed: bool = True) -> Dict:
+    """Quantize the big frozen LLM matrices (layers' attn/mlp + unembedding)
+    to int8; LoRA adapters, norms, biases, and the embed lookup table stay
+    bf16/f32. For tied models an int8 unembedding COPY is installed under
+    "lm_head" (models.llm.lm_head prefers it)."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for blk_name in ("attn", "mlp"):
+        blk = dict(layers[blk_name])
+        for k, leaf in blk.items():
+            new_leaf = dict(leaf)
+            # stacked (L, in, out) weights: quantize per (layer, out-channel)
+            w = leaf["w"]
+            wf = w.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(wf), axis=1)  # (L, out)
+            scale = jnp.maximum(amax / 127.0, 1e-12)
+            new_leaf["w"] = jnp.clip(
+                jnp.round(wf / scale[:, None, :]), -127, 127
+            ).astype(jnp.int8)
+            new_leaf["s"] = scale
+            blk[k] = new_leaf
+        layers[blk_name] = blk
+    out["layers"] = layers
+    if quantize_unembed:
+        if "lm_head" in params:
+            out["lm_head"] = quantize_per_channel(params["lm_head"]["w"])
+        else:  # tied embeddings: quantize a transposed copy for the head
+            out["lm_head"] = quantize_per_channel(params["embed"]["w"].T)
+    return out

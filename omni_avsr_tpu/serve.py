@@ -37,10 +37,16 @@ class Transcriber:
         num_beams: Optional[int] = None,
         max_new_tokens: Optional[int] = None,
         video_pad_multiple: int = 32,
+        quantize: Optional[str] = None,  # "int8" halves decode weight traffic
     ):
         self.model = model
         self.engine = OmniEngine(model, params, TrainConfig(), 1.0, noise_bank=None)
         self.params = self.engine.merged_params()
+        if quantize == "int8":
+            from .ops.quant import quantize_llm_params
+
+            self.params = dict(self.params)
+            self.params["llm"] = quantize_llm_params(self.params["llm"])
         self.num_beams = num_beams if num_beams is not None else model.cfg.num_beams
         self.max_new = max_new_tokens if max_new_tokens is not None else model.cfg.max_dec_tokens
         self.video_pad_multiple = video_pad_multiple
