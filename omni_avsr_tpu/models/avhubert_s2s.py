@@ -215,8 +215,78 @@ def ctc_loss(
 
 
 # ---------------------------------------------------------------------------
-# Greedy decode (static self-attn KV cache; cross K/V precomputed)
+# Incremental decoding: cross K/V precomputed once, self-attn KV cached
 # ---------------------------------------------------------------------------
+
+
+def s2s_precompute_cross(params: Params, cfg: S2SDecoderConfig, enc_out: jax.Array):
+    """Per-layer cross-attention K/V from the encoder output:
+    two (L, B, S, H, hd) arrays."""
+    B, S, _ = enc_out.shape
+    H = cfg.heads
+    hd = cfg.embed_dim // H
+
+    def per_layer(carry, layer):
+        k = linear(enc_out, layer["cross_attn"]["k"]).reshape(B, S, H, hd)
+        v = linear(enc_out, layer["cross_attn"]["v"]).reshape(B, S, H, hd)
+        return carry, (k, v)
+
+    _, (ks, vs) = jax.lax.scan(per_layer, None, params["layers"])
+    return ks, vs
+
+
+def _s2s_decode_step(
+    params: Params,
+    cfg: S2SDecoderConfig,
+    tok: jax.Array,  # (B,) current input token ids
+    t: jax.Array,  # scalar step (0-based position of `tok`)
+    self_k: jax.Array,  # (L, B, N, H, hd)
+    self_v: jax.Array,
+    cross_k: jax.Array,  # (L, B, S, H, hd)
+    cross_v: jax.Array,
+    cross_mask: Optional[jax.Array],  # (B, 1, 1, S)
+):
+    B = tok.shape[0]
+    H = cfg.heads
+    D = cfg.embed_dim
+    hd = D // H
+    scale = math.sqrt(D) if cfg.scale_embedding else 1.0
+    x = params["embed"]["w"][tok][:, None] * scale  # (B,1,D)
+    # position numbering: real token at running index t -> pad_id + 1 + t
+    x = x + params["pos"][cfg.pad_id + 1 + t][None, None]
+    N = self_k.shape[2]
+    self_mask = (jnp.arange(N) <= t)[None, None, None, :]
+
+    def body(x, xs):
+        layer, sk, sv, ck, cv = xs
+        sa = layer["self_attn"]
+        q = linear(x, sa["q"]).reshape(B, 1, H, hd)
+        k = linear(x, sa["k"]).reshape(B, 1, H, hd)
+        v = linear(x, sa["v"]).reshape(B, 1, H, hd)
+        sk = jax.lax.dynamic_update_slice(sk, k, (0, t, 0, 0))
+        sv = jax.lax.dynamic_update_slice(sv, v, (0, t, 0, 0))
+        out = dot_product_attention(q, sk, sv, mask=self_mask)
+        x = x + linear(out.reshape(B, 1, D), sa["o"])
+        x = layer_norm(x, layer["self_norm"]["scale"], layer["self_norm"]["bias"])
+
+        ca = layer["cross_attn"]
+        q = linear(x, ca["q"]).reshape(B, 1, H, hd)
+        out = dot_product_attention(q, ck, cv, mask=cross_mask)
+        x = x + linear(out.reshape(B, 1, D), ca["o"])
+        x = layer_norm(x, layer["cross_norm"]["scale"], layer["cross_norm"]["bias"])
+        x = x + linear(_act(linear(x, layer["fc1"]), cfg.activation), layer["fc2"])
+        x = layer_norm(x, layer["final_norm"]["scale"], layer["final_norm"]["bias"])
+        return x, (sk, sv)
+
+    x, (self_k, self_v) = jax.lax.scan(
+        body, x, (params["layers"], self_k, self_v, cross_k, cross_v)
+    )
+    if cfg.share_input_output_embed:
+        w = params["embed"]["w"].astype(x.dtype).T
+    else:
+        w = params["embed_out"]["w"].astype(x.dtype)
+    logits = jnp.einsum("bd,dv->bv", x[:, 0], w, preferred_element_type=jnp.float32)
+    return logits, self_k, self_v
 
 
 def s2s_greedy_decode(
@@ -227,24 +297,42 @@ def s2s_greedy_decode(
     max_new: int,
     bos_id: Optional[int] = None,
 ) -> jax.Array:
-    """Incremental greedy decode, (B, max_new) ids (eos included, pad after)."""
-    B = enc_out.shape[0]
-    bos = cfg.eos_id if bos_id is None else bos_id  # fairseq starts with EOS
+    """KV-cached incremental greedy decode with early exit:
+    (B, max_new) ids (eos included, pad after)."""
+    from ..ops.attention import padding_mask_from_lengths
 
-    def step(carry, t):
-        tokens, done = carry
-        logits = s2s_decoder_forward(params, cfg, tokens, enc_out, enc_lens)
-        # position t logits predict token t+1; gather current step
-        idx = jnp.minimum(t, tokens.shape[1] - 1)
-        nxt = jnp.argmax(logits[:, idx], axis=-1).astype(jnp.int32)
+    B, S, _ = enc_out.shape
+    H = cfg.heads
+    hd = cfg.embed_dim // H
+    L = cfg.layers
+    bos = cfg.eos_id if bos_id is None else bos_id  # fairseq starts with EOS
+    cross_k, cross_v = s2s_precompute_cross(params, cfg, enc_out)
+    cross_mask = (
+        padding_mask_from_lengths(enc_lens, S)[:, None, None, :]
+        if enc_lens is not None else None
+    )
+    self_k = jnp.zeros((L, B, max_new + 1, H, hd), enc_out.dtype)
+    self_v = jnp.zeros_like(self_k)
+    tokens0 = jnp.full((B, max_new), cfg.pad_id, jnp.int32)
+
+    def cond(state):
+        t, _, _, _, done, _ = state
+        return (t < max_new) & ~jnp.all(done)
+
+    def body(state):
+        t, cur, sk, sv, done, tokens = state
+        logits, sk, sv = _s2s_decode_step(
+            params, cfg, cur, t, sk, sv, cross_k, cross_v, cross_mask
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.pad_id, nxt)
         done = done | (nxt == cfg.eos_id)
-        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t + 1))
-        return (tokens, done), nxt
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t))
+        return (t + 1, nxt, sk, sv, done, tokens)
 
-    init_tokens = jnp.full((B, max_new + 1), cfg.pad_id, jnp.int32)
-    init_tokens = init_tokens.at[:, 0].set(bos)
-    (_, _), toks = jax.lax.scan(
-        step, (init_tokens, jnp.zeros((B,), bool)), jnp.arange(max_new)
+    _, _, _, _, _, tokens = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.full((B,), bos, jnp.int32), self_k, self_v,
+         jnp.zeros((B,), bool), tokens0),
     )
-    return toks.T
+    return tokens

@@ -59,6 +59,30 @@ def test_greedy_decode_shapes():
     assert out.shape == (2, 6)
 
 
+def test_cached_greedy_matches_full_forward():
+    """KV-cached incremental decode == repeated full-decoder argmax."""
+    cfg = tiny_cfg()
+    params = init_s2s_decoder(jax.random.PRNGKey(2), cfg)
+    enc = jnp.asarray(np.random.RandomState(6).randn(1, 7, 48).astype(np.float32))
+    lens = jnp.array([7])
+    max_new = 5
+    cached = np.asarray(s2s_greedy_decode(params, cfg, enc, lens, max_new))[0]
+
+    # reference: re-run the full decoder each step (teacher-forcing style)
+    tokens = [cfg.eos_id]
+    out = []
+    for t in range(max_new):
+        prev = jnp.asarray([tokens], jnp.int32)
+        logits = s2s_decoder_forward(params, cfg, prev, enc, lens)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        out.append(nxt)
+        if nxt == cfg.eos_id:
+            break
+        tokens.append(nxt)
+    expect = out + [cfg.pad_id] * (max_new - len(out))
+    assert cached.tolist() == expect
+
+
 def test_sinusoidal_matches_fairseq_formula():
     """Check the exact fairseq construction: [sin | cos] with exp spacing."""
     emb = sinusoidal_embedding(10, 8, padding_idx=1)
