@@ -25,7 +25,7 @@ from ..config import avhubert_large
 from ..data.datamodule import DataModule
 from ..data.tokenizer import TokenizerBundle
 from ..models.avhubert import avhubert_encode
-from ..models.avhubert_s2s import S2SDecoderConfig, s2s_greedy_decode
+from ..models.avhubert_s2s import S2SDecoderConfig, s2s_beam_decode, s2s_greedy_decode
 from ..utils.metrics import WerAccumulator
 
 
@@ -61,6 +61,8 @@ def main(argv=None):
     p.add_argument("--decoder-ffn-dim", type=int, default=3072)
     p.add_argument("--decoder-heads", type=int, default=4)
     p.add_argument("--max-len", type=int, default=200)
+    p.add_argument("--num-beams", type=int, default=1)
+    p.add_argument("--length-penalty", type=float, default=1.0)
     args = p.parse_args(argv)
 
     dictionary = FairseqDictionary(args.dict)
@@ -94,6 +96,9 @@ def main(argv=None):
         v = video_pipeline(None, video, video_len, train=False)
         enc = avhubert_encode(enc_params, enc_cfg, v.astype(jnp.bfloat16),
                               lengths=video_len)
+        if args.num_beams > 1:
+            return s2s_beam_decode(dec_params, dec_cfg, enc, video_len,
+                                   args.max_len, args.num_beams, args.length_penalty)
         return s2s_greedy_decode(dec_params, dec_cfg, enc, video_len, args.max_len)
 
     acc = WerAccumulator()

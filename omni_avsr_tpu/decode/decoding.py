@@ -80,10 +80,12 @@ def greedy_decode(
 ) -> jax.Array:
     """Returns (B, max_new) generated ids, pad_id after EOS.
 
-    Early exit: a `lax.while_loop` stops as soon as every sequence has
-    emitted EOS — real transcripts average well under the 32-token bound
-    (`max_dec_tokens`), so this cuts the sequential decode-step count
-    (the latency-dominant part of RTF) to the actual transcript length.
+    Early exit with chunking: steps run as `lax.scan` chunks (XLA pipelines
+    scan bodies better than a per-step while_loop) inside a `while_loop`
+    that stops once every sequence has emitted EOS — real transcripts
+    average well under the 32-token bound, so the sequential step count
+    (the latency-dominant part of RTF) tracks the actual transcript length
+    at chunk granularity, while the full-length case keeps scan performance.
     """
     B, P, D = prefix_embeds.shape
     cache = KVCache.create(cfg, B, P + max_new, dtype=cache_dtype)
@@ -92,12 +94,11 @@ def greedy_decode(
     )
     tokens0 = jnp.full((B, max_new), pad_id, jnp.int32)
 
-    def cond(state):
-        t, _, _, done, _ = state
-        return (t < max_new) & ~jnp.all(done)
+    CHUNK = 8 if max_new % 8 == 0 else max_new
+    n_chunks = max_new // CHUNK
 
-    def body(state):
-        t, cache, logits, done, tokens = state
+    def scan_step(carry, t):
+        cache, logits, done, tokens = carry
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         tok = jnp.where(done, pad_id, tok)
         done = done | (tok == eos_id)
@@ -106,11 +107,21 @@ def greedy_decode(
         logits, cache = llm_decode_step(
             params, cfg, emb, t, n_valid, P, cache, modality, key_valid=key_valid
         )
-        return (t + 1, cache, logits, done, tokens)
+        return (cache, logits, done, tokens), None
 
-    _, _, _, _, tokens = jax.lax.while_loop(
+    def cond(state):
+        c, (_, _, done, _) = state
+        return (c < n_chunks) & ~jnp.all(done)
+
+    def body(state):
+        c, carry = state
+        ts = c * CHUNK + jnp.arange(CHUNK, dtype=jnp.int32)
+        carry, _ = jax.lax.scan(scan_step, carry, ts)
+        return (c + 1, carry)
+
+    _, (_, _, _, tokens) = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), cache, logits, jnp.zeros((B,), bool), tokens0),
+        (jnp.int32(0), (cache, logits, jnp.zeros((B,), bool), tokens0)),
     )
     return tokens
 
@@ -155,12 +166,48 @@ def beam_search(
         else jnp.arange(P)[None] < n_valid[:, None]
     )
 
-    logits = jnp.repeat(logits0[:, None], K, axis=1)  # (B, K, V)
+    def step_fn(cache, new_tok, flat_idx, t):
+        cache = cache.reorder(flat_idx)
+        emb = _embed(params, new_tok.reshape(B * K, 1), dtype)
+        step_logits, cache = llm_decode_step_beam(
+            params, cfg, emb, t, prefix_len_bk, prefix_mask, cache, K, modality
+        )
+        return step_logits.reshape(B, K, V), cache
+
+    return beam_loop(
+        init_logits=logits0, state=cache, step_fn=step_fn,
+        num_beams=K, vocab_size=V, max_new=max_new, eos_id=eos_id,
+        pad_id=pad_id, length_penalty=length_penalty,
+        no_repeat_ngram_size=no_repeat_ngram_size,
+    )
+
+
+def beam_loop(
+    *,
+    init_logits: jax.Array,  # (B, V) post-prefill logits
+    state,  # opaque decoder state pytree
+    step_fn,  # (state, new_tok (B,K), flat_idx (B*K,), t) -> ((B,K,V) logits, state)
+    num_beams: int,
+    vocab_size: int,
+    max_new: int,
+    eos_id: int,
+    pad_id: int,
+    length_penalty: float = 1.0,
+    no_repeat_ngram_size: int = 0,
+) -> jax.Array:
+    """Decoder-agnostic beam loop with HF BeamSearchScorer semantics — used
+    by both the LLM (beam_search) and the AV-HuBERT seq2seq decoder."""
+    B = init_logits.shape[0]
+    K, V = num_beams, vocab_size
+
+    logits = jnp.repeat(init_logits[:, None], K, axis=1)  # (B, K, V)
     cum = jnp.tile(jnp.array([0.0] + [NEG] * (K - 1), jnp.float32), (B, 1))  # (B, K)
     tokens = jnp.full((B, K, max_new), pad_id, jnp.int32)
-    hyp_scores = jnp.full((B, K), NEG, jnp.float32)
-    hyp_tokens = jnp.full((B, K, max_new), pad_id, jnp.int32)
-    hyp_lens = jnp.zeros((B, K), jnp.int32)
+    heap = (
+        jnp.full((B, K), NEG, jnp.float32),
+        jnp.full((B, K, max_new), pad_id, jnp.int32),
+        jnp.zeros((B, K), jnp.int32),
+    )
     batch_offsets = (jnp.arange(B) * K)[:, None]  # (B,1)
 
     def insert_hyps(heap, cand_scores, cand_tokens, cand_lens):
@@ -193,7 +240,7 @@ def beam_search(
         return ban
 
     def step(carry, t):
-        cache, logits, cum, tokens, heap = carry
+        state, logits, cum, tokens, heap = carry
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # (B,K,V)
         if no_repeat_ngram_size > 0:
             logp = logp + ngram_ban_mask(tokens, t)
@@ -222,24 +269,17 @@ def beam_search(
         new_parent = jnp.take_along_axis(parent, top_run, axis=1)  # (B, K)
         new_tok = jnp.take_along_axis(tok, top_run, axis=1)  # (B, K)
 
-        # reorder token buffers + the generated cache region by parent beam
+        # reorder token buffers + decoder state by parent beam
         tokens = jnp.take_along_axis(tokens, new_parent[:, :, None], axis=1)
         tokens = jax.lax.dynamic_update_slice(
             tokens, new_tok[:, :, None], (0, 0, t)
         )
         flat_idx = (batch_offsets + new_parent).reshape(-1)  # (B*K,)
-        cache = cache.reorder(flat_idx)
+        step_logits, state = step_fn(state, new_tok, flat_idx, t)
+        return (state, step_logits, new_cum, tokens, heap), None
 
-        emb = _embed(params, new_tok.reshape(B * K, 1), dtype)
-        step_logits, cache = llm_decode_step_beam(
-            params, cfg, emb, t, prefix_len_bk, prefix_mask, cache, K, modality
-        )
-        return (cache, step_logits.reshape(B, K, V), new_cum, tokens, heap), None
-
-    heap = (hyp_scores, hyp_tokens, hyp_lens)
-
-    def cond(state):
-        t, _, _, cum, _, heap = state
+    def cond(loop_state):
+        t, _, _, cum, _, heap = loop_state
         if max_new <= 1:
             return t < max_new
         h_s = heap[0]
@@ -251,15 +291,15 @@ def beam_search(
         done = jnp.all(worst_kept >= best_attainable)
         return (t < max_new) & ~done
 
-    def body(state):
-        t, cache, logits, cum, tokens, heap = state
-        (cache, logits, cum, tokens, heap), _ = step(
-            (cache, logits, cum, tokens, heap), t
+    def body(loop_state):
+        t, state, logits, cum, tokens, heap = loop_state
+        (state, logits, cum, tokens, heap), _ = step(
+            (state, logits, cum, tokens, heap), t
         )
-        return (t + 1, cache, logits, cum, tokens, heap)
+        return (t + 1, state, logits, cum, tokens, heap)
 
-    _, cache, logits, cum, tokens, heap = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), cache, logits, cum, tokens, heap)
+    _, state, logits, cum, tokens, heap = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), state, logits, cum, tokens, heap)
     )
 
     # offer the running beams (full length, no EOS) to the heap

@@ -289,6 +289,63 @@ def _s2s_decode_step(
     return logits, self_k, self_v
 
 
+def s2s_beam_decode(
+    params: Params,
+    cfg: S2SDecoderConfig,
+    enc_out: jax.Array,
+    enc_lens: Optional[jax.Array],
+    max_new: int,
+    num_beams: int,
+    length_penalty: float = 1.0,
+    bos_id: Optional[int] = None,
+) -> jax.Array:
+    """Beam search over the s2s decoder, sharing the generic HF-semantics
+    beam core (decode/decoding.py::beam_loop) with the LLM path — the
+    framework's replacement for fairseq's SequenceGenerator
+    (`av_hubert/avhubert/sequence_generator.py`)."""
+    from ..decode.decoding import beam_loop
+    from ..ops.attention import padding_mask_from_lengths
+
+    B, S, _ = enc_out.shape
+    K = num_beams
+    H = cfg.heads
+    hd = cfg.embed_dim // H
+    L = cfg.layers
+    bos = cfg.eos_id if bos_id is None else bos_id
+    cross_k, cross_v = s2s_precompute_cross(params, cfg, enc_out)
+    cross_mask = (
+        padding_mask_from_lengths(enc_lens, S)[:, None, None, :]
+        if enc_lens is not None else None
+    )
+    self_k = jnp.zeros((L, B, max_new + 1, H, hd), enc_out.dtype)
+    self_v = jnp.zeros_like(self_k)
+    logits0, self_k, self_v = _s2s_decode_step(
+        params, cfg, jnp.full((B,), bos, jnp.int32), jnp.int32(0),
+        self_k, self_v, cross_k, cross_v, cross_mask,
+    )
+    # tile per-beam state; cross K/V replicated (could share like the LLM
+    # split cache — encoder outputs are small relative to the LLM prefix)
+    sk = jnp.repeat(self_k, K, axis=1)
+    sv = jnp.repeat(self_v, K, axis=1)
+    ck = jnp.repeat(cross_k, K, axis=1)
+    cv = jnp.repeat(cross_v, K, axis=1)
+    cm = jnp.repeat(cross_mask, K, axis=0) if cross_mask is not None else None
+
+    def step_fn(state, new_tok, flat_idx, t):
+        sk, sv = state
+        sk, sv = sk[:, flat_idx], sv[:, flat_idx]
+        logits, sk, sv = _s2s_decode_step(
+            params, cfg, new_tok.reshape(B * K), t + 1, sk, sv, ck, cv, cm
+        )
+        return logits.reshape(B, K, cfg.vocab_size), (sk, sv)
+
+    return beam_loop(
+        init_logits=logits0, state=(sk, sv), step_fn=step_fn,
+        num_beams=K, vocab_size=cfg.vocab_size, max_new=max_new,
+        eos_id=cfg.eos_id, pad_id=cfg.pad_id, length_penalty=length_penalty,
+    )
+
+
 def s2s_greedy_decode(
     params: Params,
     cfg: S2SDecoderConfig,

