@@ -50,8 +50,10 @@ class DataModule:
         )
 
     def _lengths(self, ds: AVDataset) -> List[int]:
-        # audio-only manifests store sample counts; convert to frames
-        if self.modality == "audio":
+        # manifests store 25 fps frame counts for every modality (the same
+        # CSV drives ASR/VSR/AVSR in the reference); heuristically convert
+        # sample-count manifests (values way above any plausible frame count)
+        if self.modality == "audio" and ds.input_lengths and max(ds.input_lengths) > 16000:
             return [max(1, l // 640) for l in ds.input_lengths]
         return ds.input_lengths
 
