@@ -47,6 +47,8 @@ def parse_args(argv=None):
     p.add_argument("--num-check-save", type=int, default=4)
     p.add_argument("--num-average-epochs", type=int, default=4)
     p.add_argument("--ckpt-path", default=None, help="resume from this orbax checkpoint")
+    p.add_argument("--auto-resume", type=str2bool, default=True,
+                   help="resume from the latest checkpoint in exp-dir if present")
     p.add_argument("--auto-test", type=str2bool, default=True)
     p.add_argument("--wandb", type=str2bool, default=False)
     p.add_argument("--project-wandb", default="omni-avsr-tpu")
@@ -88,10 +90,11 @@ def main(argv=None):
     )
 
     start_epoch = 0
-    if args.ckpt_path:
-        engine.state = restore_checkpoint(args.ckpt_path, engine.state)
+    resume_path = args.ckpt_path or (latest_checkpoint(ckpt_dir) if args.auto_resume else None)
+    if resume_path:
+        engine.state = restore_checkpoint(resume_path, engine.state)
         start_epoch = int(engine.state.step) // steps_per_epoch
-        print(f"resumed from {args.ckpt_path} at epoch {start_epoch}")
+        print(f"resumed from {resume_path} at epoch {start_epoch}")
 
     from ..utils.profiling import StepTimer, find_nonfinite, trace
 
