@@ -30,10 +30,17 @@ def main():
     from omni_avsr_tpu.config import TrainConfig
     from omni_avsr_tpu.train.engine import OmniEngine
 
+    import os
+
     model = _flagship(tiny=False)
     params = model.init_params(jax.random.PRNGKey(0))
     engine = OmniEngine(model, params, TrainConfig(), 1.0, noise_bank=None, seed=0)
     merged = engine.merged_params()
+    if os.environ.get("BENCH_INT8"):  # measurement mode: int8 decode weights
+        from omni_avsr_tpu.ops.quant import quantize_llm_params
+
+        merged = dict(merged)
+        merged["llm"] = quantize_llm_params(merged["llm"])
 
     frames = 160  # 6.4 s clip @ 25 fps
     secs = frames / 25.0

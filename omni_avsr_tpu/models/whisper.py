@@ -82,6 +82,16 @@ def init_whisper_encoder(rng: jax.Array, cfg: WhisperEncoderConfig, dtype=jnp.fl
     }
 
 
+def _use_pallas() -> bool:
+    """The whisper tower is fully frozen (no grads flow into it), so the
+    forward-only Pallas flash kernel applies — 1.4-1.6x over XLA attention
+    at these shapes on v5e. CPU tests keep the XLA path."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def _encoder_layer(layer: Params, cfg: WhisperEncoderConfig, x: jax.Array) -> jax.Array:
     B, T, D = x.shape
     H = cfg.num_heads
@@ -91,7 +101,12 @@ def _encoder_layer(layer: Params, cfg: WhisperEncoderConfig, x: jax.Array) -> ja
     q = linear(h, attn["q"]).reshape(B, T, H, hd)
     k = linear(h, attn["k"]).reshape(B, T, H, hd)
     v = linear(h, attn["v"]).reshape(B, T, H, hd)
-    out = dot_product_attention(q, k, v)  # bidirectional, no mask
+    if _use_pallas() and T >= 512 and hd in (64, 128):
+        from ..ops.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v)
+    else:
+        out = dot_product_attention(q, k, v)  # bidirectional, no mask
     x = x + linear(out.reshape(B, T, D), attn["o"])
 
     h = layer_norm(x, layer["mlp_norm"]["scale"], layer["mlp_norm"]["bias"], cfg.layer_norm_eps)

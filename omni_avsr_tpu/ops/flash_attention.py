@@ -114,18 +114,28 @@ def flash_attention(
     scale: Optional[float] = None,
     causal: bool = False,
     kv_lengths: Optional[jax.Array] = None,  # (B,)
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention forward. For arbitrary dense masks fall back to
-    ops.attention.dot_product_attention."""
+    ops.attention.dot_product_attention.
+
+    Default tiles measured on v5e at encoder shapes (B4 T1536 H16 D64):
+    bq512/bk1024+ beats XLA's fused attention by ~1.4-1.6x; small 128x128
+    tiles LOSE to XLA (0.75x) — tile size is the whole game here."""
     assert mask is None, "pallas kernel supports causal/length masks only"
     B, T, Hq, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     G = Hq // Hkv
     if scale is None:
         scale = D ** -0.5
+
+    # clamp tiles to the (padded) sequence so short inputs don't over-pad;
+    # a single k-block (the v5e sweep's best config) when the row fits VMEM
+    block_q = min(block_q, _round_up(T, 128))
+    s128 = _round_up(S, 128)
+    block_k = s128 if s128 <= 1536 else min(block_k, s128)
 
     # pad sequence dims to block multiples
     Tp, Sp = _round_up(T, block_q), _round_up(S, block_k)
