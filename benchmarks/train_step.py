@@ -1,0 +1,60 @@
+"""Training-step throughput benchmark (not a driver contract; results in
+README). Measures the full flagship 3-task Omni train step — on-device augs,
+both encoders, 3 LLM forwards, backward over LoRA+projectors, AdamW — at a
+realistic bucket shape.
+
+  python benchmarks/train_step.py [batch_size] [frames]
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _batch, _flagship
+    from omni_avsr_tpu.config import TrainConfig
+    from omni_avsr_tpu.data.noise import synth_babble
+    from omni_avsr_tpu.train.engine import OmniEngine
+    from omni_avsr_tpu.ops.audio_frontend import whisper_token_len
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    frames = int(sys.argv[2]) if len(sys.argv) > 2 else 128  # ~5.1 s clips
+
+    model = _flagship(tiny=False)
+    params = model.init_params(jax.random.PRNGKey(0))
+    engine = OmniEngine(model, params, TrainConfig(lr=1e-3), 1000,
+                        noise_bank=synth_babble(seconds=10.0), seed=0)
+    batch = _batch(model, B=B, frames=frames, token_len=16)
+    trim = int(whisper_token_len(frames * 640))
+    trim = ((trim + 24) // 25) * 25
+
+    def run_once():
+        b = dict(batch)
+        b["audio_trim_len"] = trim
+        return engine.train_step(b)
+
+    loss = run_once()
+    _ = float(loss)  # compile + sync
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        loss = run_once()
+    lv = float(loss)  # sync
+    dt = time.perf_counter() - t0
+    clip_seconds = B * frames / 25.0
+    print(json.dumps({
+        "metric": "train_step_audio_seconds_per_s",
+        "value": round(clip_seconds * n / dt, 2),
+        "step_time_s": round(dt / n, 4),
+        "batch": B, "frames": frames, "loss": round(lv, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
