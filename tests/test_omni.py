@@ -161,3 +161,27 @@ def test_overfit_smoke(model, params):
         if first is None:
             first = float(loss)
     assert float(loss) < first, (first, float(loss))
+
+
+def test_infer_prefix_masked_counts(model, params):
+    """Per-sample validity counts follow the reference trim rules exactly."""
+    import numpy as np
+
+    batch = make_batch(model)  # audio_len = [16000, 8000], video_len = [8, 6]
+    emb, valid = model.infer_prefix_masked(
+        params, batch, "audiovisual", rate_audio=4, rate_video=2, audio_trim_max=50
+    )
+    assert emb.shape[:2] == valid.shape
+    v = np.asarray(valid)
+    P_prompt = len(model.prompt_ids["audiovisual"])
+    # layout: [bos][a_sos][A x 12][a_eos][v_sos][V x 4][v_eos][prompt]
+    a_max, v_max = 50 // 4, 8 // 2
+    assert emb.shape[1] == 1 + 1 + a_max + 1 + 1 + v_max + 1 + P_prompt
+    # sample 0: trim=max(16000*50//16000,25)=50 -> 12 audio tokens; video 8//2=4
+    # sample 1: trim=max(8000*50//16000,25)=25 -> 6 audio tokens; video 6//2=3
+    n_audio = v[:, 2:2 + a_max].sum(axis=1)
+    n_video = v[:, 2 + a_max + 2:2 + a_max + 2 + v_max].sum(axis=1)
+    assert n_audio.tolist() == [12, 6]
+    assert n_video.tolist() == [4, 3]
+    # all delimiters/prompt/bos valid
+    assert v[:, 0].all() and v[:, 1].all() and v[:, -P_prompt:].all()
