@@ -39,9 +39,17 @@ def main():
         b["audio_trim_len"] = trim
         return engine.train_step(b)
 
-    loss = run_once()
-    _ = float(loss)  # compile + sync
-    n = 10
+    # warm up EVERY matryoshka rate combo deterministically (each is its
+    # own XLA program; engine.train_step samples one per call)
+    arrays = {k: jnp.asarray(v) for k, v in batch.items()}
+    for ra in model.cfg.audio_rates:
+        for rv in model.cfg.video_rates:
+            engine.state, loss = engine._train_step(
+                engine.state, engine.frozen, dict(arrays), jax.random.PRNGKey(0),
+                rate_a=ra, rate_v=rv, trim_len=trim,
+            )
+    _ = float(loss)  # sync
+    n = 12
     t0 = time.perf_counter()
     for _ in range(n):
         loss = run_once()

@@ -85,6 +85,20 @@ def _hann_window(n: int = N_FFT) -> np.ndarray:
     return (0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n) / n))).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=2)
+def _dft_matrices(n: int = N_FFT) -> Tuple[np.ndarray, np.ndarray]:
+    """Real-DFT as two (n_fft, n_fft//2+1) matmul operands.
+
+    TPUs have no FFT unit — XLA lowers jnp.fft to a slow generic path —
+    but n_fft=400 makes the direct DFT a tiny MXU matmul (~4 GFLOP for a
+    30 s batch), exact to f32. rfft[k] = sum_n x[n] e^{-2 pi i k n / N}.
+    """
+    k = np.arange(n // 2 + 1)[None, :]
+    t = np.arange(n)[:, None]
+    ang = 2.0 * np.pi * t * k / n
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
 def log_mel_spectrogram(
     audio: jax.Array,  # (B, S) f32 waveform at 16 kHz
     audio_lengths: Optional[jax.Array] = None,  # (B,) valid samples, for zeroing pad
@@ -111,8 +125,11 @@ def log_mel_spectrogram(
     idx = jnp.arange(n_frames_full)[:, None] * HOP + jnp.arange(N_FFT)[None, :]
     frames = x[:, idx]  # (B, F+1, n_fft)
     window = jnp.asarray(_hann_window())
-    spec = jnp.fft.rfft(frames * window, axis=-1)
-    power = jnp.square(spec.real) + jnp.square(spec.imag)  # (B, F+1, 201)
+    windowed = frames * window
+    cos_m, sin_m = (jnp.asarray(m) for m in _dft_matrices())
+    re = jnp.einsum("bfn,nk->bfk", windowed, cos_m, preferred_element_type=jnp.float32)
+    im = jnp.einsum("bfn,nk->bfk", windowed, sin_m, preferred_element_type=jnp.float32)
+    power = jnp.square(re) + jnp.square(im)  # (B, F+1, 201)
     power = power[:, :-1]  # drop last frame (HF: stft[..., :-1])
 
     fb = jnp.asarray(mel_filter_bank())  # (201, 80)
