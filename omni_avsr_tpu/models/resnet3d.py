@@ -143,8 +143,11 @@ def resnet3d_forward(
     # batch now and use a 2D window (cheaper layout for XLA)
     _, Tn, Hn, Wn, Cn = x.shape
     x = x.reshape(B * Tn, Hn, Wn, Cn)
+    # NB: the init value must be a weak-typed python scalar — a concrete
+    # bf16 array here breaks reduce_window's reverse-mode rule (found by
+    # differentiating the full encoder at bf16)
     x = jax.lax.reduce_window(
-        x, -jnp.inf if x.dtype == jnp.float32 else jnp.array(-jnp.inf, x.dtype),
+        x, -float("inf"),
         jax.lax.max,
         window_dimensions=(1, 3, 3, 1),
         window_strides=(1, 2, 2, 1),
