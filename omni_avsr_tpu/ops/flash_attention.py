@@ -35,6 +35,7 @@ def _kernel(
     k_ref,  # (1, BK, D)
     v_ref,  # (1, BK, D)
     o_ref,  # (1, BQ, D)
+    lse_ref,  # (1, BQ) f32 — row logsumexp (for the backward pass)
     # scratch
     m_scr,  # (BQ, 1) f32
     l_scr,  # (BQ, 1) f32
@@ -100,6 +101,7 @@ def _kernel(
     def _finalize():
         l = jnp.maximum(l_scr[:], 1e-30)
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        lse_ref[0] = (m_scr[:] + jnp.log(l))[:, 0]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -117,6 +119,7 @@ def flash_attention(
     block_q: int = 512,
     block_k: int = 1024,
     interpret: bool = False,
+    return_lse: bool = False,
 ) -> jax.Array:
     """Flash attention forward. For arbitrary dense masks fall back to
     ops.attention.dot_product_attention.
@@ -159,7 +162,7 @@ def flash_attention(
         use_lens=kv_lengths is not None,
         num_heads=Hq, block_q=block_q, block_k=block_k, seq_k=S,
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -180,16 +183,24 @@ def flash_attention(
                         ((h // _Hq) * _Hkv + (h % _Hq) // _G, ik, 0),
                 ),
             ],
-            out_specs=pl.BlockSpec((1, block_q, D), lambda h, iq, ik, lens: (h, iq, 0)),
+            out_specs=(
+                pl.BlockSpec((1, block_q, D), lambda h, iq, ik, lens: (h, iq, 0)),
+                pl.BlockSpec((1, block_q), lambda h, iq, ik, lens: (h, iq)),
+            ),
             scratch_shapes=[
                 pltpu.VMEM((block_q, 1), jnp.float32),
                 pltpu.VMEM((block_q, 1), jnp.float32),
                 pltpu.VMEM((block_q, D), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B * Hq, Tp, D), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * Hq, Tp, D), q.dtype),
+            jax.ShapeDtypeStruct((B * Hq, Tp), jnp.float32),
+        ),
         interpret=interpret,
     )(lens, qf, kf, vf)
 
-    out = out.reshape(B, Hq, Tp, D).transpose(0, 2, 1, 3)
-    return out[:, :T]
+    out = out.reshape(B, Hq, Tp, D).transpose(0, 2, 1, 3)[:, :T]
+    if return_lse:
+        return out, lse[:, :T]
+    return out
