@@ -35,7 +35,7 @@ def _kernel(
     k_ref,  # (1, BK, D)
     v_ref,  # (1, BK, D)
     o_ref,  # (1, BQ, D)
-    lse_ref,  # (1, BQ) f32 — row logsumexp (for the backward pass)
+    lse_ref,  # (1, 1, BQ) f32 — row logsumexp (for the backward pass)
     # scratch
     m_scr,  # (BQ, 1) f32
     l_scr,  # (BQ, 1) f32
@@ -101,7 +101,7 @@ def _kernel(
     def _finalize():
         l = jnp.maximum(l_scr[:], 1e-30)
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
-        lse_ref[0] = (m_scr[:] + jnp.log(l))[:, 0]
+        lse_ref[0, 0] = (m_scr[:] + jnp.log(l))[:, 0]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -185,7 +185,7 @@ def flash_attention(
             ],
             out_specs=(
                 pl.BlockSpec((1, block_q, D), lambda h, iq, ik, lens: (h, iq, 0)),
-                pl.BlockSpec((1, block_q), lambda h, iq, ik, lens: (h, iq)),
+                pl.BlockSpec((1, 1, block_q), lambda h, iq, ik, lens: (h, 0, iq)),
             ),
             scratch_shapes=[
                 pltpu.VMEM((block_q, 1), jnp.float32),
@@ -195,12 +195,12 @@ def flash_attention(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B * Hq, Tp, D), q.dtype),
-            jax.ShapeDtypeStruct((B * Hq, Tp), jnp.float32),
+            jax.ShapeDtypeStruct((B * Hq, 1, Tp), jnp.float32),
         ),
         interpret=interpret,
     )(lens, qf, kf, vf)
 
     out = out.reshape(B, Hq, Tp, D).transpose(0, 2, 1, 3)[:, :T]
     if return_lse:
-        return out, lse[:, :T]
+        return out, lse[:, 0, :T]
     return out

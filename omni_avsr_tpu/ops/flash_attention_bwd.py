@@ -63,10 +63,10 @@ def _dq_kernel(
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         m = _mask(q_start, k_start, block_q, block_k, seq_k, causal, kv_len)
-        p = jnp.where(m, jnp.exp(s - lse_ref[0][:, None]), 0.0)
+        p = jnp.where(m, jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)
         dp = jax.lax.dot_general(do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - dsum_ref[0][:, None]) * scale
+        ds = p * (dp - dsum_ref[0, 0][:, None]) * scale
         acc_scr[:] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -102,14 +102,14 @@ def _dkv_kernel(
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         m = _mask(q_start, k_start, block_q, block_k, seq_k, causal, kv_len)
-        p = jnp.where(m, jnp.exp(s - lse_ref[0][:, None]), 0.0)
+        p = jnp.where(m, jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)
         dv_scr[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - dsum_ref[0][:, None]) * scale
+        ds = p * (dp - dsum_ref[0, 0][:, None]) * scale
         dk_scr[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -146,8 +146,8 @@ def _flash_bwd(
     dof = jnp.pad(do, pad_t).transpose(0, 2, 1, 3).reshape(B * Hq, Tp, D)
     kf = jnp.pad(k, pad_s).transpose(0, 2, 1, 3).reshape(B * Hkv, Sp, D)
     vf = jnp.pad(v, pad_s).transpose(0, 2, 1, 3).reshape(B * Hkv, Sp, D)
-    lsef = jnp.pad(lse, ((0, 0), (0, Tp - T)), constant_values=1.0)
-    dsum = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1)  # (BH, Tp)
+    lsef = jnp.pad(lse, ((0, 0), (0, Tp - T)), constant_values=1.0)[:, None]
+    dsum = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1)[:, None]  # (BH, 1, Tp)
 
     lens = kv_lengths.astype(jnp.int32) if kv_lengths is not None else jnp.zeros((1,), jnp.int32)
     kv_map = lambda h, a, b, lens, _G=G, _Hq=Hq, _Hkv=Hkv: (
@@ -168,8 +168,8 @@ def _flash_bwd(
                 pl.BlockSpec((1, block_k, D), lambda h, iq, ik, l: (kv_map(h, iq, ik, l), ik, 0)),
                 pl.BlockSpec((1, block_k, D), lambda h, iq, ik, l: (kv_map(h, iq, ik, l), ik, 0)),
                 pl.BlockSpec((1, block_q, D), lambda h, iq, ik, l: (h, iq, 0)),
-                pl.BlockSpec((1, block_q), lambda h, iq, ik, l: (h, iq)),
-                pl.BlockSpec((1, block_q), lambda h, iq, ik, l: (h, iq)),
+                pl.BlockSpec((1, 1, block_q), lambda h, iq, ik, l: (h, 0, iq)),
+                pl.BlockSpec((1, 1, block_q), lambda h, iq, ik, l: (h, 0, iq)),
             ],
             out_specs=pl.BlockSpec((1, block_q, D), lambda h, iq, ik, l: (h, iq, 0)),
             scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
@@ -188,8 +188,8 @@ def _flash_bwd(
                 pl.BlockSpec((1, block_k, D), lambda h, ik, iq, l: (kv_map(h, ik, iq, l), ik, 0)),
                 pl.BlockSpec((1, block_k, D), lambda h, ik, iq, l: (kv_map(h, ik, iq, l), ik, 0)),
                 pl.BlockSpec((1, block_q, D), lambda h, ik, iq, l: (h, iq, 0)),
-                pl.BlockSpec((1, block_q), lambda h, ik, iq, l: (h, iq)),
-                pl.BlockSpec((1, block_q), lambda h, ik, iq, l: (h, iq)),
+                pl.BlockSpec((1, 1, block_q), lambda h, ik, iq, l: (h, 0, iq)),
+                pl.BlockSpec((1, 1, block_q), lambda h, ik, iq, l: (h, 0, iq)),
             ],
             out_specs=(
                 pl.BlockSpec((1, block_k, D), lambda h, ik, iq, l: (h, ik, 0)),
