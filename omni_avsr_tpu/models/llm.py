@@ -144,6 +144,7 @@ def _attention_block(
     modality: Optional[str],
     cache: Optional[Tuple[jax.Array, jax.Array]] = None,
     cache_index: Optional[jax.Array] = None,
+    flash_causal: bool = False,
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     B, T, _ = x.shape
     attn = layer["attn"]
@@ -180,7 +181,12 @@ def _attention_block(
         k, v = ck.astype(q.dtype), cv.astype(q.dtype)
         new_cache = (ck, cv)
 
-    out = dot_product_attention(q, k, v, mask=mask)
+    if flash_causal and cache is None:
+        from ..ops.flash_attention_bwd import flash_attention_trainable
+
+        out = flash_attention_trainable(q, k, v, causal=True)
+    else:
+        out = dot_product_attention(q, k, v, mask=mask)
     out = out.reshape(B, T, cfg.q_dim)
     return linear(out, attn["o"]), new_cache
 
@@ -200,10 +206,11 @@ def _decoder_layer(
     modality: Optional[str],
     cache: Optional[Tuple[jax.Array, jax.Array]] = None,
     cache_index: Optional[jax.Array] = None,
+    flash_causal: bool = False,
 ):
     h = rms_norm(x, layer["input_norm"]["scale"], cfg.rms_norm_eps)
     attn_out, new_cache = _attention_block(
-        layer, cfg, h, cos, sin, mask, modality, cache, cache_index
+        layer, cfg, h, cos, sin, mask, modality, cache, cache_index, flash_causal
     )
     x = x + attn_out
     h = rms_norm(x, layer["post_attn_norm"]["scale"], cfg.rms_norm_eps)
@@ -247,13 +254,19 @@ def llm_backbone(
     remat: bool = True,
 ) -> jax.Array:
     """Run the decoder stack, return final hidden states (pre final-norm)."""
+    from ..ops.attention import on_tpu
+
     B, T, _ = inputs_embeds.shape
     cos, sin = rope_cos_sin(cfg, positions)
-    if mask is None:
+    flash_causal = (
+        mask is None and on_tpu() and cfg.head_dim in (64, 128) and T >= 256
+    )
+    if mask is None and not flash_causal:
         mask = jnp.broadcast_to(causal_mask(T, T), (B, 1, T, T))
 
     def body(x, layer):
-        y, _ = _decoder_layer(layer, cfg, x, cos, sin, mask, modality)
+        y, _ = _decoder_layer(layer, cfg, x, cos, sin, mask, modality,
+                              flash_causal=flash_causal)
         return y, None
 
     if remat:

@@ -23,6 +23,13 @@ import jax.numpy as jnp
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def dot_product_attention(
     q: jax.Array,  # (B, T, Hq, D)
     k: jax.Array,  # (B, S, Hkv, D)
