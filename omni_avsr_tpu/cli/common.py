@@ -161,15 +161,15 @@ def build_model(args) -> OmniAVSR:
 
 
 def build_params(args, model: OmniAVSR) -> Dict[str, Any]:
-    """Parameter source resolution: trained ckpt > base torch ckpts > random."""
-    if args.pretrained_model_path:
+    """Parameter source resolution: trained ckpt > base torch ckpts > random.
+
+    An orbax checkpoint directory stores only the TRAINABLE tree (TrainState
+    of LoRA+projectors), so the frozen towers still come from the base torch
+    checkpoints (or random init) and the trained leaves are merged on top.
+    """
+    if args.pretrained_model_path and not os.path.isdir(args.pretrained_model_path):
         from ..convert.omni_ckpt import convert_omni_checkpoint, load_torch_checkpoint
 
-        if os.path.isdir(args.pretrained_model_path):  # orbax
-            from ..train.checkpoint import restore_checkpoint
-
-            template = model.init_params(jax.random.PRNGKey(0))
-            return restore_checkpoint(args.pretrained_model_path, template)
         sd = load_torch_checkpoint(args.pretrained_model_path)
         return convert_omni_checkpoint(sd, model.cfg)
 
@@ -195,6 +195,20 @@ def build_params(args, model: OmniAVSR) -> Dict[str, Any]:
 
         sd = load_torch_checkpoint(args.llm_path)
         params["llm"] = convert_llm(sd, model.cfg.llm)
+
+    if args.pretrained_model_path and os.path.isdir(args.pretrained_model_path):
+        # framework-trained orbax checkpoint: merge the trainable tree
+        import jax.numpy as jnp
+
+        from ..train.checkpoint import latest_checkpoint, restore_trainable
+        from ..train.state import merge_params
+
+        path = args.pretrained_model_path
+        if not os.path.basename(path).startswith("step_"):
+            path = latest_checkpoint(path) or path
+        trained = restore_trainable(path)
+        trained = jax.tree_util.tree_map(lambda x: jnp.asarray(x), trained)
+        params = merge_params(trained, params)
     return params
 
 

@@ -58,6 +58,7 @@ def main(argv=None):
     noise = load_noise_bank(args.noise_path) if args.decode_snr_target < 999998 else None
     engine = OmniEngine(model, params, TrainConfig(), 1.0,
                         noise_bank=noise, decode_snr_target=args.decode_snr_target,
+        inference_only=True,
                         seed=args.seed)
     merged = engine.merged_params()
     if args.quantize_decode == "int8":

@@ -77,7 +77,8 @@ def main(argv=None):
     engine = OmniEngine(
         model, params, TrainConfig(), 1.0,
         unfrozen_modules=tuple(args.unfrozen_modules),
-        noise_bank=noise, decode_snr_target=args.decode_snr_target, seed=args.seed,
+        noise_bank=noise, decode_snr_target=args.decode_snr_target,
+        inference_only=True, seed=args.seed,
     )
     merged = engine.merged_params()
     if args.quantize_decode == "int8":

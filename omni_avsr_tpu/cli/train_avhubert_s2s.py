@@ -34,7 +34,6 @@ from ..models.avhubert_s2s import (
     s2s_greedy_decode,
 )
 from ..ops.augment import video_pipeline
-from ..train.optim import make_optimizer
 from ..utils.metrics import WerAccumulator
 from .common import str2bool
 
@@ -145,7 +144,21 @@ def main(argv=None):
     )
 
     params = {"enc": enc_params, "head": head_params}
-    tx, _ = make_optimizer(TrainConfig(lr=args.lr, max_epochs=args.max_epochs), 100)
+    import optax
+
+    from ..train.optim import warmup_cosine_schedule
+
+    schedule = warmup_cosine_schedule(args.lr, 0.0, args.max_epochs, 100)
+    # with --freeze-encoder the encoder must be excluded from AdamW's
+    # decoupled weight decay too (zeroed grads alone don't stop decay)
+    wd_mask = jax.tree_util.tree_map(lambda _: True, params)
+    if args.freeze_encoder:
+        wd_mask = {"enc": jax.tree_util.tree_map(lambda _: False, params["enc"]),
+                   "head": jax.tree_util.tree_map(lambda _: True, params["head"])}
+    tx = optax.chain(
+        optax.clip_by_global_norm(10.0),
+        optax.adamw(schedule, b1=0.9, b2=0.98, weight_decay=0.1, mask=wd_mask),
+    )
     opt_state = tx.init(params)
 
     def make_targets(texts: List[str], T: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -185,6 +198,7 @@ def main(argv=None):
 
     ds = AVDataset(args.root_dir, args.train_file, "video")
     tok = tok_stub(d)
+    global_step = 0
     for epoch in range(args.max_epochs):
         t0 = time.time()
         losses = []
@@ -198,8 +212,9 @@ def main(argv=None):
             params, opt_state, loss = train_step(
                 params, opt_state, jnp.asarray(b["video"]),
                 jnp.asarray(b["video_len"]), jnp.asarray(tgt),
-                jnp.asarray(tgt_len), jax.random.fold_in(rng, epoch),
+                jnp.asarray(tgt_len), jax.random.fold_in(rng, global_step),
             )
+            global_step += 1
             losses.append(float(loss))
         print(f"epoch {epoch}: loss={np.mean(losses):.4f} ({time.time()-t0:.1f}s)")
 

@@ -118,7 +118,10 @@ def main(argv=None):
                          min(args.num_average_epochs, args.max_epochs))
     engine.state = engine.state._replace(
         trainable=jax.tree_util.tree_map(jax.numpy.asarray, avg))
-    print(f"averaged last {args.num_average_epochs} checkpoints")
+    avg_dir = os.path.join(args.exp_dir, args.exp_name,
+                           f"model_avg_{args.num_average_epochs}")
+    save_checkpoint(avg_dir, int(engine.state.step), engine.state, keep=0)
+    print(f"averaged last {args.num_average_epochs} checkpoints -> {avg_dir}")
 
     if args.auto_test and args.test_file:
         params = engine.merged_params()

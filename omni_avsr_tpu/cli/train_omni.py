@@ -62,6 +62,15 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     maybe_synthetic(args)
+    # the unified Omni model trains all three tasks per batch and therefore
+    # needs AV data (the reference's trainer is the same 3-task design,
+    # `modeling_OmniAVSR.py:263-306`); single-task training is the
+    # Llama-AVSR baseline driver
+    assert args.modality == "audiovisual", (
+        f"train_omni is the 3-task unified trainer (needs --modality "
+        f"audiovisual, got {args.modality!r}); for single-task training use "
+        f"omni_avsr_tpu.cli.train_llama_avsr"
+    )
     os.makedirs(args.exp_dir, exist_ok=True)
     ckpt_dir = os.path.join(args.exp_dir, args.exp_name, "checkpoints")
 
@@ -138,14 +147,17 @@ def main(argv=None):
         save_checkpoint(ckpt_dir, int(engine.state.step), engine.state,
                         keep=args.num_check_save)
 
-    # post-training weight averaging (`utils/avg_checkpoints.py:34-44`)
+    # post-training weight averaging (`utils/avg_checkpoints.py:34-44`);
+    # saved OUTSIDE ckpt_dir so --auto-resume never resumes from averaged
+    # weights with stale optimizer moments
     avg = average_last_n(ckpt_dir, engine.state, min(args.num_average_epochs, args.max_epochs))
     engine.state = engine.state._replace(
         trainable=jax.tree_util.tree_map(lambda x: jax.numpy.asarray(x), avg)
     )
-    avg_path = os.path.join(ckpt_dir, f"model_avg_{args.num_average_epochs}")
-    save_checkpoint(os.path.dirname(avg_path), int(engine.state.step) + 1, engine.state, keep=0)
-    print(f"averaged last {args.num_average_epochs} checkpoints")
+    avg_dir = os.path.join(args.exp_dir, args.exp_name,
+                           f"model_avg_{args.num_average_epochs}")
+    save_checkpoint(avg_dir, int(engine.state.step), engine.state, keep=0)
+    print(f"averaged last {args.num_average_epochs} checkpoints -> {avg_dir}")
 
     if args.auto_test and args.test_file:
         run_auto_test(args, model, engine, dm, logger)

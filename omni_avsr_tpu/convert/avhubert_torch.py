@@ -82,7 +82,8 @@ def fold_weight_norm_conv1d(g: np.ndarray, v: np.ndarray) -> np.ndarray:
 
 
 def convert_avhubert(
-    sd: Mapping[str, Any], cfg: AVHubertConfig, dtype=jnp.bfloat16
+    sd: Mapping[str, Any], cfg: AVHubertConfig, dtype=jnp.bfloat16,
+    lora_dtype=jnp.float32,
 ) -> Params:
     D = cfg.encoder_embed_dim
     layers = []
@@ -139,4 +140,10 @@ def convert_avhubert(
     }
     import jax
 
-    return jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+    out = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+    # trainable LoRA adapters keep f32 masters (matches convert_llm)
+    if "lora" in out["layers"]:
+        out["layers"]["lora"] = jax.tree_util.tree_map(
+            lambda x: x.astype(lora_dtype), out["layers"]["lora"]
+        )
+    return out

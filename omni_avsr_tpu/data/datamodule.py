@@ -114,8 +114,9 @@ def _prefetch_iter(
         try:
             for b in batches:
                 q.put(make(b))
-        finally:
             q.put(stop)
+        except BaseException as e:  # surface loader errors, don't truncate
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -124,6 +125,8 @@ def _prefetch_iter(
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
         pool.shutdown(wait=False)

@@ -402,8 +402,10 @@ def llm_prefill_masked(
     x, (new_k, new_v) = jax.lax.scan(
         body, inputs_embeds, (params["layers"], cache.k, cache.v)
     )
-    logits = lm_head(params, cfg, x)  # (B, P, V)
-    last_logits = jnp.take_along_axis(logits, last_idx[:, None, None], axis=1)[:, 0]
+    # unembed ONLY the last valid position — a full (B, P, V) logits tensor
+    # would be ~P x larger for no reason on the decode hot path
+    x_last = jnp.take_along_axis(x, last_idx[:, None, None], axis=1)  # (B,1,H)
+    last_logits = lm_head(params, cfg, x_last)[:, 0]
     return last_logits, KVCache(new_k, new_v)
 
 

@@ -36,11 +36,14 @@ def adaptive_time_mask(
 ) -> jax.Array:
     """Batched AdaptiveTimeMask. max_masks must be >= (T + stride)/stride."""
     B, T = x.shape[:2]
-    k_t, k_s = jax.random.split(rng)
+    k_t, k_e, k_s = jax.random.split(rng, 3)
     n_mask = ((lengths.astype(jnp.float32) + stride - 0.1) // stride).astype(jnp.int32)  # (B,)
-    widths = jax.random.randint(k_t, (B, max_masks), 0, window)  # t ~ U[0, window)
+    # reference draws (t, t_end) independently (`transforms.py:48-56`):
+    # t bounds the start range, t_end is the masked extent
+    bounds = jax.random.randint(k_t, (B, max_masks), 0, window)
+    widths = jax.random.randint(k_e, (B, max_masks), 0, window)
     u = jax.random.uniform(k_s, (B, max_masks))
-    span = jnp.maximum(lengths[:, None] - widths, 1)
+    span = jnp.maximum(lengths[:, None] - bounds, 1)
     starts = (u * span.astype(jnp.float32)).astype(jnp.int32)
     active = jnp.arange(max_masks)[None, :] < n_mask[:, None]
 

@@ -40,7 +40,8 @@ class Transcriber:
         quantize: Optional[str] = None,  # "int8" halves decode weight traffic
     ):
         self.model = model
-        self.engine = OmniEngine(model, params, TrainConfig(), 1.0, noise_bank=None)
+        self.engine = OmniEngine(model, params, TrainConfig(), 1.0, noise_bank=None,
+                                 inference_only=True)
         self.params = self.engine.merged_params()
         if quantize == "int8":
             from .ops.quant import quantize_llm_params
@@ -77,11 +78,22 @@ class Transcriber:
             )
         model = OmniAVSR(cfg, tok)
         if os.path.isdir(checkpoint_path):
-            from .train.checkpoint import restore_checkpoint
+            # framework orbax checkpoint: trainable tree only — base towers
+            # must come from base_params (converted torch weights) or init
             import jax
+            import jax.numpy as jnp
 
-            template = model.init_params(jax.random.PRNGKey(0))
-            params = restore_checkpoint(checkpoint_path, template)
+            from .train.checkpoint import latest_checkpoint, restore_trainable
+            from .train.state import merge_params
+
+            base = kwargs.pop("base_params", None)
+            if base is None:
+                base = model.init_params(jax.random.PRNGKey(0))
+            path = checkpoint_path
+            if not os.path.basename(path).startswith("step_"):
+                path = latest_checkpoint(path) or path
+            trained = jax.tree_util.tree_map(jnp.asarray, restore_trainable(path))
+            params = merge_params(trained, base)
         else:
             from .convert.omni_ckpt import convert_omni_checkpoint, load_torch_checkpoint
 

@@ -60,6 +60,22 @@ def restore_checkpoint(path: str, template: Any) -> Any:
         return ckptr.restore(path, template)
 
 
+def restore_raw(path: str) -> Any:
+    """Restore a checkpoint without a template (raw pytree of arrays)."""
+    ocp = _ocp()
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path)
+
+
+def restore_trainable(path: str) -> Any:
+    """Extract just the trainable tree from a saved TrainState checkpoint
+    (what cli drivers save: {step, trainable, opt_state})."""
+    raw = restore_raw(path)
+    if isinstance(raw, dict) and "trainable" in raw:
+        return raw["trainable"]
+    return raw
+
+
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     ckpts = list_checkpoints(ckpt_dir)
     return ckpts[-1] if ckpts else None

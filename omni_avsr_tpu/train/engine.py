@@ -48,6 +48,7 @@ class OmniEngine:
         noise_bank: Optional[np.ndarray] = None,
         decode_snr_target: Optional[float] = None,
         seed: int = 42,
+        inference_only: bool = False,
     ):
         self.model = model
         self.cfg = model.cfg
@@ -61,18 +62,31 @@ class OmniEngine:
         pred = model.trainable_predicate(unfrozen_modules)
         trainable, frozen = split_params(params, pred)
         self.frozen = frozen
-        self.tx, self.schedule = make_optimizer(train_cfg, steps_per_epoch)
-        self.state = create_train_state(trainable, self.tx)
+        if inference_only:
+            # no optimizer state (it would hold f32 masters + Adam moments
+            # of every adapter for nothing on a serving host)
+            self.tx = self.schedule = None
+            self.state = TrainState(
+                step=jnp.zeros((), jnp.int32),
+                trainable=jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32), trainable
+                ),
+                opt_state=None,
+            )
+            self._train_step = self._eval_step = None
+        else:
+            self.tx, self.schedule = make_optimizer(train_cfg, steps_per_epoch)
+            self.state = create_train_state(trainable, self.tx)
 
-        self._train_step = jax.jit(
-            self._make_step(is_train=True),
-            static_argnames=("rate_a", "rate_v", "trim_len"),
-            donate_argnums=(0,),
-        )
-        self._eval_step = jax.jit(
-            self._make_step(is_train=False),
-            static_argnames=("rate_a", "rate_v", "trim_len"),
-        )
+            self._train_step = jax.jit(
+                self._make_step(is_train=True),
+                static_argnames=("rate_a", "rate_v", "trim_len"),
+                donate_argnums=(0,),
+            )
+            self._eval_step = jax.jit(
+                self._make_step(is_train=False),
+                static_argnames=("rate_a", "rate_v", "trim_len"),
+            )
         self._decode_fns: Dict = {}
         # baseline (Llama-AVSR / Llama-MTSK) single-task steps, jitted lazily
         self._single_train = jax.jit(

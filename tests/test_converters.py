@@ -236,3 +236,40 @@ def test_checkpoint_save_restore_average(tmp_path):
     from omni_avsr_tpu.train.checkpoint import list_checkpoints
 
     assert len(list_checkpoints(ckpt_dir)) == 1
+
+
+def test_orbax_trainable_round_trip_into_full_params(tmp_path):
+    """Train-style checkpoint (TrainState w/ trainable only) -> build_params
+    merge: trained leaves land in the full tree, frozen towers preserved."""
+    import optax
+
+    from omni_avsr_tpu.train.checkpoint import restore_trainable, save_checkpoint
+    from omni_avsr_tpu.train.state import create_train_state, merge_params, split_params
+    from omni_avsr_tpu.data.tokenizer import synthetic_tokenizer
+    from omni_avsr_tpu.models.omni import OmniAVSR
+
+    cfg = _tiny_cfg()
+    model = OmniAVSR(cfg, synthetic_tokenizer("llama", base_vocab=254 - 7))
+    params = model.init_params(jax.random.PRNGKey(0), frozen_dtype=jnp.float32)
+    pred = model.trainable_predicate()
+    trainable, frozen = split_params(params, pred)
+    # mark the trained values so we can recognise them after the round trip
+    trainable = jax.tree_util.tree_map(lambda x: x * 0 + 7.0, trainable)
+    state = create_train_state(trainable, optax.adamw(1e-3))
+
+    ckpt_dir = str(tmp_path / "ck")
+    save_checkpoint(ckpt_dir, 5, state, keep=2)
+
+    from omni_avsr_tpu.train.checkpoint import latest_checkpoint
+
+    restored = restore_trainable(latest_checkpoint(ckpt_dir))
+    merged = merge_params(
+        jax.tree_util.tree_map(jnp.asarray, restored), params
+    )
+    assert jax.tree_util.tree_structure(merged) == jax.tree_util.tree_structure(params)
+    # trained leaves carry the marker; frozen leaves untouched
+    assert float(merged["audio_proj"]["per_rate"]["r4"]["fc1"]["w"][0, 0]) == 7.0
+    np.testing.assert_array_equal(
+        np.asarray(merged["whisper"]["conv1"]["w"]),
+        np.asarray(params["whisper"]["conv1"]["w"]),
+    )
