@@ -44,6 +44,8 @@ def parse_args(argv=None):
                    help="decode N utterances at once (masked prefix keeps batch-1 semantics)")
     p.add_argument("--print-hyp", type=str2bool, default=True,
                    help="print gold vs generated per sample (`lightning:203-204`)")
+    p.add_argument("--output-json", default=None,
+                   help="write the WER results dict to this path")
     return p.parse_args(argv)
 
 
@@ -115,6 +117,12 @@ def main(argv=None):
     print("\n=== summary ===")
     for k, v in results.items():
         print(f"{k}: {100 * v:.2f}%")
+    if args.output_json:
+        import json
+
+        with open(args.output_json, "w") as f:
+            json.dump({k: round(v, 6) for k, v in results.items()}, f, indent=2)
+        print(f"wrote {args.output_json}")
     return results
 
 
