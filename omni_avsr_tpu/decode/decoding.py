@@ -24,8 +24,7 @@ HF semantics reproduced (transformers `BeamSearchScorer`):
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,14 +43,13 @@ from ..models.llm import (
 NEG = -1e9
 
 
-def _embed(params, ids: jax.Array, dtype) -> jax.Array:
-    return embed_tokens(params, ids, dtype)
-
-
 def _prefill(params, cfg, prefix_embeds, prefix_len, key_valid, cache, modality):
     """Dispatch contiguous vs gap-tolerant prefill. Returns
     (logits, cache, n_valid)."""
-    B, P, _ = prefix_embeds.shape
+    assert prefix_len is not None or key_valid is not None, (
+        "decode needs prefix_len (contiguous prefix) or key_valid (gap-tolerant)"
+    )
+    P = prefix_embeds.shape[1]
     if key_valid is None:
         logits, cache = llm_prefill(params, cfg, prefix_embeds, prefix_len, cache, modality)
         return logits, cache, prefix_len
@@ -103,7 +101,7 @@ def greedy_decode(
         tok = jnp.where(done, pad_id, tok)
         done = done | (tok == eos_id)
         tokens = jax.lax.dynamic_update_slice(tokens, tok[:, None], (0, t))
-        emb = _embed(params, tok[:, None], prefix_embeds.dtype)
+        emb = embed_tokens(params, tok[:, None], prefix_embeds.dtype)
         logits, cache = llm_decode_step(
             params, cfg, emb, t, n_valid, P, cache, modality, key_valid=key_valid
         )
@@ -168,7 +166,7 @@ def beam_search(
 
     def step_fn(cache, new_tok, flat_idx, t):
         cache = cache.reorder(flat_idx)
-        emb = _embed(params, new_tok.reshape(B * K, 1), dtype)
+        emb = embed_tokens(params, new_tok.reshape(B * K, 1), dtype)
         step_logits, cache = llm_decode_step_beam(
             params, cfg, emb, t, prefix_len_bk, prefix_mask, cache, K, modality
         )
@@ -223,21 +221,30 @@ def beam_loop(
         return take(s), take(tks), take(ls)
 
     def ngram_ban_mask(tokens: jax.Array, t: jax.Array) -> jax.Array:
-        """(B, K, V) additive mask banning n-gram-completing tokens."""
+        """(B, K, V) additive mask banning n-gram-completing tokens —
+        one vectorised window-compare + one scatter-add (not W full-vocab
+        one-hots)."""
         n = no_repeat_ngram_size
         nm1 = n - 1
+        W = max_new - nm1
         # the (n-1)-token suffix ending at position t-1
         suf_idx = jnp.clip(t - nm1 + jnp.arange(nm1), 0, max_new - 1)  # (nm1,)
         suffix = tokens[:, :, suf_idx]  # (B, K, nm1)
+        # all windows at once: (B, K, W, nm1) vs suffix
+        win_idx = jnp.arange(W)[:, None] + jnp.arange(nm1)[None, :]  # (W, nm1)
+        windows = tokens[:, :, win_idx]  # (B, K, W, nm1)
+        targets = tokens[:, :, jnp.arange(W) + nm1]  # (B, K, W)
+        j = jnp.arange(W)
+        hit = (
+            jnp.all(windows == suffix[:, :, None, :], axis=-1)
+            & ((j + nm1)[None, None] <= t - 1)
+            & (t >= nm1)
+        )  # (B, K, W)
+        vals = jnp.where(hit, NEG, 0.0)
         ban = jnp.zeros((B, K, V), jnp.float32)
-        for j in range(max_new - nm1):
-            window = tokens[:, :, j:j + nm1]
-            target = tokens[:, :, j + nm1]
-            hit = jnp.all(window == suffix, axis=-1) & (j + nm1 <= t - 1) & (t >= nm1)
-            ban = ban + jnp.where(hit, NEG, 0.0)[:, :, None] * jax.nn.one_hot(
-                target, V, dtype=jnp.float32
-            )
-        return ban
+        return ban.at[
+            jnp.arange(B)[:, None, None], jnp.arange(K)[None, :, None], targets
+        ].add(vals)
 
     def step(carry, t):
         state, logits, cum, tokens, heap = carry
@@ -280,12 +287,12 @@ def beam_loop(
 
     def cond(loop_state):
         t, _, _, cum, _, heap = loop_state
-        if max_new <= 1:
+        # the early-exit bound (cum/max_new^p upper-bounds future scores
+        # because cum only decreases and the normalizer grows) is only sound
+        # for length_penalty >= 0; for negative penalties run the full loop
+        if max_new <= 1 or length_penalty < 0:
             return t < max_new
         h_s = heap[0]
-        # no future hypothesis can beat the worst kept one: a running beam's
-        # best attainable normalized score is cum / max_new (cum only
-        # decreases; normalizer only grows). Sound for length_penalty >= 0.
         best_attainable = jnp.max(cum, axis=1) / (jnp.float32(max_new) ** length_penalty)
         worst_kept = jnp.min(h_s, axis=1)
         done = jnp.all(worst_kept >= best_attainable)

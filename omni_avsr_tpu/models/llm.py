@@ -134,24 +134,16 @@ def _lora_delta(x: jax.Array, adapter: Params, scaling: float) -> Tuple[jax.Arra
     return dq * scaling, dv * scaling
 
 
-def _attention_block(
-    layer: Params,
-    cfg: LLMConfig,
-    x: jax.Array,  # (B, T, H)
-    cos: jax.Array,
-    sin: jax.Array,
-    mask: Optional[jax.Array],
-    modality: Optional[str],
-    cache: Optional[Tuple[jax.Array, jax.Array]] = None,
-    cache_index: Optional[jax.Array] = None,
-    flash_causal: bool = False,
-) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
-    B, T, _ = x.shape
+def _qkv_with_lora(
+    layer: Params, cfg: LLMConfig, x: jax.Array, modality: Optional[str]
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Base q/k/v projections + the Omni-LoRA q/v deltas — the single source
+    of the adapter math, shared by the training/prefill path and the
+    split-cache beam decode step."""
     attn = layer["attn"]
     q = linear(x, attn["q"])
     k = linear(x, attn["k"])
     v = linear(x, attn["v"])
-
     if cfg.lora is not None:
         scaling = cfg.lora.scaling
         if cfg.lora.task_specific:
@@ -166,6 +158,24 @@ def _attention_block(
         # v_out may be smaller than kv_dim only through the divisor; for all
         # published configs hidden//v_out_divisor == kv_dim.
         v = v + dv
+    return q, k, v
+
+
+def _attention_block(
+    layer: Params,
+    cfg: LLMConfig,
+    x: jax.Array,  # (B, T, H)
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: Optional[jax.Array],
+    modality: Optional[str],
+    cache: Optional[Tuple[jax.Array, jax.Array]] = None,
+    cache_index: Optional[jax.Array] = None,
+    flash_causal: bool = False,
+) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
+    B, T, _ = x.shape
+    attn = layer["attn"]
+    q, k, v = _qkv_with_lora(layer, cfg, x, modality)
 
     q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
     k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
@@ -231,17 +241,14 @@ def lm_head(params: Params, cfg: LLMConfig, x: jax.Array) -> jax.Array:
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
     if "lm_head" in params:
         head = params["lm_head"]
-        w = head["w"]
-        if w.dtype == jnp.int8:
-            logits = jnp.einsum(
-                "bth,hv->btv", x, w.astype(x.dtype),
-                preferred_element_type=jnp.float32,
-            )
-            return logits * head["s"][None, None, :].astype(jnp.float32)
-        return jnp.einsum("bth,hv->btv", x, w.astype(x.dtype),
-                          preferred_element_type=jnp.float32)
-    w = params["embed"]["w"].astype(x.dtype).T
-    return jnp.einsum("bth,hv->btv", x, w, preferred_element_type=jnp.float32)
+        w, scale = head["w"], head.get("s")
+    else:
+        w, scale = params["embed"]["w"].T, None
+    logits = jnp.einsum("bth,hv->btv", x, w.astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+    if scale is not None:  # int8 per-channel unembedding (ops/quant.py)
+        logits = logits * scale[None, None, :].astype(jnp.float32)
+    return logits
 
 
 def llm_backbone(
@@ -492,19 +499,7 @@ def llm_decode_step_beam(
         layer, pk, pv, gk, gv = layer_and_cache
         h = rms_norm(x, layer["input_norm"]["scale"], cfg.rms_norm_eps)
         attn = layer["attn"]
-        q = linear(h, attn["q"])
-        k = linear(h, attn["k"])
-        v = linear(h, attn["v"])
-        if cfg.lora is not None:
-            scaling = cfg.lora.scaling
-            if cfg.lora.task_specific:
-                dq, dv = _lora_delta(h, layer["lora"][modality], scaling)
-                if cfg.lora.shared:
-                    dqs, dvs = _lora_delta(h, layer["lora_shared"], scaling)
-                    dq, dv = dq + dqs, dv + dvs
-            else:
-                dq, dv = _lora_delta(h, layer["lora"], scaling)
-            q, v = q + dq, v + dv
+        q, k, v = _qkv_with_lora(layer, cfg, h, modality)
         q = q.reshape(BK, 1, cfg.num_heads, cfg.head_dim)
         k = k.reshape(BK, 1, cfg.num_kv_heads, cfg.head_dim)
         v = v.reshape(BK, 1, cfg.num_kv_heads, cfg.head_dim)

@@ -103,9 +103,6 @@ def quantized_matmul(
 # Param-tree quantization for decode
 # ---------------------------------------------------------------------------
 
-_QUANT_LEAF_PATHS = ("attn.q", "attn.k", "attn.v", "attn.o",
-                     "mlp.gate", "mlp.up", "mlp.down")
-
 
 def quantize_llm_params(params: Dict, quantize_unembed: bool = True) -> Dict:
     """Quantize the big frozen LLM matrices (layers' attn/mlp + unembedding)
@@ -117,17 +114,9 @@ def quantize_llm_params(params: Dict, quantize_unembed: bool = True) -> Dict:
     for blk_name in ("attn", "mlp"):
         blk = dict(layers[blk_name])
         for k, leaf in blk.items():
-            new_leaf = dict(leaf)
-            # stacked (L, in, out) weights: quantize per (layer, out-channel)
-            w = leaf["w"]
-            wf = w.astype(jnp.float32)
-            amax = jnp.max(jnp.abs(wf), axis=1)  # (L, out)
-            scale = jnp.maximum(amax / 127.0, 1e-12)
-            new_leaf["w"] = jnp.clip(
-                jnp.round(wf / scale[:, None, :]), -127, 127
-            ).astype(jnp.int8)
-            new_leaf["s"] = scale
-            blk[k] = new_leaf
+            # stacked (L, in, out) weights: vmap the per-matrix quantizer
+            # so the scheme lives in exactly one place
+            blk[k] = {**leaf, **jax.vmap(quantize_per_channel)(leaf["w"])}
         layers[blk_name] = blk
     out["layers"] = layers
     if quantize_unembed:
