@@ -51,12 +51,32 @@ def main():
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
     dev_batch["audio_trim_len"] = 325  # whisper_token_len(6.4 s) -> 320, bucket 325
 
-    # warmup / compile
+    # warmup / compile (also materialises the jitted decode program)
     engine.decode_batch(merged, dict(dev_batch), "audiovisual", 4, 2, num_beams=1)
+    decode_fn = engine._decode_fn("audiovisual", 4, 2, 325, 1,
+                                  model.cfg.max_dec_tokens)
+    arrays = {k: v for k, v in dev_batch.items()
+              if k not in ("gold_text", "audio_trim_len")}
+    rng = jax.random.PRNGKey(0)
+
+    # run the timing loop ON DEVICE (one dispatch, chained iterations):
+    # the dev relay costs ~28 ms per host dispatch, which would otherwise
+    # pollute the measurement (see .claude/skills/verify/SKILL.md)
     n_iters = 10
+
+    @jax.jit
+    def timed(params, arrays):
+        def body(i, acc):
+            b = dict(arrays)
+            b["audio"] = b["audio"] + (acc % 2).astype(b["audio"].dtype) * 0
+            ids = decode_fn(params, b, rng)
+            return acc + jnp.sum(ids)
+
+        return jax.lax.fori_loop(0, n_iters, body, jnp.int32(0))
+
+    int(timed(merged, arrays))  # compile
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        engine.decode_batch(merged, dict(dev_batch), "audiovisual", 4, 2, num_beams=1)
+    total = int(timed(merged, arrays))
     dt = time.perf_counter() - t0
     rtf = secs * n_iters / dt
 
