@@ -184,3 +184,44 @@ def test_s2s_beam_decode():
         assert b == g, (b, g)
     beam3 = np.asarray(s2s_beam_decode(params, cfg, enc, lens, max_new=6, num_beams=3))
     assert beam3.shape == (2, 6)
+
+
+def test_shared_cross_beam_step_matches_replicated():
+    """beams=K with ONE shared cross-K/V copy per sample must produce the
+    exact logits of the replicated-cross path (beams=1 on a B*K batch)."""
+    from omni_avsr_tpu.models.avhubert_s2s import (
+        _s2s_decode_step,
+        s2s_precompute_cross,
+    )
+    from omni_avsr_tpu.ops.attention import padding_mask_from_lengths
+
+    cfg = tiny_cfg()
+    params = init_s2s_decoder(jax.random.PRNGKey(2), cfg)
+    B, K, S, N = 2, 3, 9, 8
+    H, hd = cfg.heads, cfg.embed_dim // cfg.heads
+    enc = jnp.asarray(np.random.RandomState(7).randn(B, S, 48).astype(np.float32))
+    lens = jnp.array([9, 5])
+    ck, cv = s2s_precompute_cross(params, cfg, enc)
+    cm = padding_mask_from_lengths(lens, S)[:, None, None, :]
+    rs = np.random.RandomState(8)
+    tok = jnp.asarray(rs.randint(3, 50, (B * K,)), jnp.int32)
+    sk = jnp.asarray(rs.randn(cfg.layers, B * K, N, H, hd).astype(np.float32))
+    sv = jnp.asarray(rs.randn(cfg.layers, B * K, N, H, hd).astype(np.float32))
+    t = jnp.int32(2)
+
+    shared_logits, shared_sk, shared_sv = _s2s_decode_step(
+        params, cfg, tok, t, sk, sv, ck, cv, cm, beams=K
+    )
+    rep_logits, rep_sk, rep_sv = _s2s_decode_step(
+        params, cfg, tok, t, sk, sv,
+        jnp.repeat(ck, K, axis=1), jnp.repeat(cv, K, axis=1),
+        jnp.repeat(cm, K, axis=0),
+    )
+    np.testing.assert_allclose(np.asarray(shared_logits), np.asarray(rep_logits),
+                               rtol=1e-5, atol=1e-5)
+    # later layers' K/V derive from earlier cross outputs, which differ by
+    # float reassociation between the folded and replicated einsum layouts
+    np.testing.assert_allclose(np.asarray(shared_sk), np.asarray(rep_sk),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(shared_sv), np.asarray(rep_sv),
+                               rtol=1e-5, atol=1e-5)
