@@ -107,3 +107,64 @@ int64_t bucket_pack(const int64_t* lengths, const int64_t* order, int64_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Corpus BLEU (fairseq libbleu equivalent, `fairseq/clib/libbleu/libbleu.cpp`
+// behaviour spec): clipped n-gram match counting, orders 1..4. Stats are
+// accumulated across sentence pairs; the brevity penalty + geometric mean
+// live in Python (utils/metrics.py::BleuScorer).
+// ---------------------------------------------------------------------------
+
+#include <unordered_map>
+#include <string>
+
+namespace {
+
+// pack an n-gram of int32 ids into a byte-string key
+inline std::string ngram_key(const int32_t* ids, int64_t n) {
+  return std::string(reinterpret_cast<const char*>(ids),
+                     static_cast<size_t>(n) * sizeof(int32_t));
+}
+
+}  // namespace
+
+extern "C" {
+
+// Accumulate BLEU stats for one (ref, hyp) pair into out[10]:
+//   out[0] += len(ref), out[1] += len(hyp),
+//   out[2 + 2*(k-1)] += clipped k-gram matches, out[3 + 2*(k-1)] += k-gram
+//   count in hyp, for k = 1..4.
+void bleu_add(const int32_t* ref, int64_t nref,
+              const int32_t* hyp, int64_t nhyp, int64_t* out) {
+  out[0] += nref;
+  out[1] += nhyp;
+  for (int64_t k = 1; k <= 4; ++k) {
+    int64_t n_hyp_grams = nhyp - k + 1;
+    if (n_hyp_grams <= 0) continue;
+    std::unordered_map<std::string, int64_t> ref_counts;
+    for (int64_t i = 0; i + k <= nref; ++i) ref_counts[ngram_key(ref + i, k)]++;
+    int64_t match = 0;
+    for (int64_t i = 0; i + k <= nhyp; ++i) {
+      auto it = ref_counts.find(ngram_key(hyp + i, k));
+      if (it != ref_counts.end() && it->second > 0) {
+        --it->second;
+        ++match;
+      }
+    }
+    out[2 + 2 * (k - 1)] += match;
+    out[3 + 2 * (k - 1)] += n_hyp_grams;
+  }
+}
+
+// Batched variant over flattened id arrays with offsets (like
+// edit_distance_batch); accumulates into one shared out[10].
+void bleu_stats_batch(const int32_t* refs, const int64_t* ref_offsets,
+                      const int32_t* hyps, const int64_t* hyp_offsets,
+                      int64_t n, int64_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    bleu_add(refs + ref_offsets[i], ref_offsets[i + 1] - ref_offsets[i],
+             hyps + hyp_offsets[i], hyp_offsets[i + 1] - hyp_offsets[i], out);
+  }
+}
+
+}  // extern "C"

@@ -53,6 +53,12 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.bucket_pack.argtypes = [ctypes.POINTER(ctypes.c_int64)] * 2 + [
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ] + [ctypes.POINTER(ctypes.c_int64)] * 2
+            lib.bleu_add.restype = None
+            lib.bleu_add.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -88,6 +94,31 @@ def _edit_distance_py(a: np.ndarray, b: np.ndarray) -> int:
             cur[j] = min(sub[j - 1], dele[j - 1], cur[j - 1] + 1)
         prev = cur
     return int(prev[nb])
+
+
+def bleu_stats_native(ref: List[int], hyp: List[int], stats: np.ndarray) -> None:
+    """Accumulate clipped n-gram BLEU stats (orders 1-4) into stats[10]:
+    [ref_len, hyp_len, match1, count1, ..., match4, count4]."""
+    lib = _load()
+    aa = np.asarray(ref, np.int32)
+    bb = np.asarray(hyp, np.int32)
+    if lib is not None:
+        lib.bleu_add(_ptr(aa, ctypes.c_int32), len(aa),
+                     _ptr(bb, ctypes.c_int32), len(bb),
+                     _ptr(stats, ctypes.c_int64))
+        return
+    from collections import Counter
+
+    stats[0] += len(aa)
+    stats[1] += len(bb)
+    for k in range(1, 5):
+        if len(bb) - k + 1 <= 0:
+            continue
+        refc = Counter(tuple(aa[i:i + k]) for i in range(len(aa) - k + 1))
+        hypc = Counter(tuple(bb[i:i + k]) for i in range(len(bb) - k + 1))
+        match = sum(min(c, refc[g]) for g, c in hypc.items())
+        stats[2 + 2 * (k - 1)] += match
+        stats[3 + 2 * (k - 1)] += len(bb) - k + 1
 
 
 def bucket_batches_native(
