@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import avhubert_large
+from ..config import AVHubertConfig
 from ..data.datamodule import DataModule
 from ..data.tokenizer import TokenizerBundle
 from ..models.avhubert import avhubert_encode
@@ -56,6 +56,12 @@ def main(argv=None):
     p.add_argument("--root-dir", required=True)
     p.add_argument("--test-file", required=True)
     p.add_argument("--modality", default="video", choices=["video", "audiovisual"])
+    # encoder geometry (defaults: AV-HuBERT Large; override for smaller
+    # checkpoints or tiny end-to-end smokes)
+    p.add_argument("--encoder-layers", type=int, default=24)
+    p.add_argument("--encoder-dim", type=int, default=1024)
+    p.add_argument("--encoder-heads", type=int, default=16)
+    p.add_argument("--encoder-ffn-dim", type=int, default=4096)
     p.add_argument("--decoder-layers", type=int, default=6)
     p.add_argument("--decoder-embed-dim", type=int, default=768)
     p.add_argument("--decoder-ffn-dim", type=int, default=3072)
@@ -66,7 +72,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     dictionary = FairseqDictionary(args.dict)
-    enc_cfg = avhubert_large(use_lora=False)
+    enc_cfg = AVHubertConfig(
+        encoder_layers=args.encoder_layers, encoder_embed_dim=args.encoder_dim,
+        encoder_heads=args.encoder_heads, encoder_ffn_dim=args.encoder_ffn_dim,
+    )
     dec_cfg = S2SDecoderConfig(
         vocab_size=len(dictionary), pad_id=dictionary.pad, eos_id=dictionary.eos,
         embed_dim=args.decoder_embed_dim, ffn_dim=args.decoder_ffn_dim,
