@@ -101,18 +101,28 @@ def main(argv=None):
     dm = DataModule(data_cfg, tok_stub, modality=args.modality)
 
     @jax.jit
-    def decode_fn(video, video_len):
+    def decode_fn(video, audio_feats, video_len):
+        # audio_feats: (B, T, 104) stacked fbanks when --modality audiovisual
+        # (`hubert_dataset.py` stacker semantics), None for video-only
         v = video_pipeline(None, video, video_len, train=False)
+        a = audio_feats.astype(jnp.bfloat16) if audio_feats is not None else None
         enc = avhubert_encode(enc_params, enc_cfg, v.astype(jnp.bfloat16),
-                              lengths=video_len)
+                              audio=a, lengths=video_len)
         if args.num_beams > 1:
             return s2s_beam_decode(dec_params, dec_cfg, enc, video_len,
                                    args.max_len, args.num_beams, args.length_penalty)
         return s2s_greedy_decode(dec_params, dec_cfg, enc, video_len, args.max_len)
 
+    from ..data.audio_features import batch_stacked_fbank
+
     acc = WerAccumulator()
     for batch in dm.test_batches():
-        ids = np.asarray(decode_fn(jnp.asarray(batch["video"]),
+        afeats = None
+        if args.modality == "audiovisual":
+            afeats = jnp.asarray(batch_stacked_fbank(
+                batch["audio"], batch["audio_len"], batch["video"].shape[1]
+            ).astype(np.float32))
+        ids = np.asarray(decode_fn(jnp.asarray(batch["video"]), afeats,
                                    jnp.asarray(batch["video_len"])))
         for ref, row in zip(batch["gold_text"], ids):
             toks = [int(t) for t in row]

@@ -94,18 +94,7 @@ def main(argv=None):
     tx, _ = make_optimizer(TrainConfig(lr=args.lr, max_epochs=1), args.max_steps)
     opt_state = tx.init(params)
 
-    def audio_fbank_stub(audio: np.ndarray, T: int) -> np.ndarray:
-        """Stacked log-fbank features at 25 Hz (104-d = 26 x 4 stack), the
-        AV-HuBERT audio input layout. Simplified host-side computation."""
-        from .cluster_units import mfcc
-
-        f = mfcc(audio, n_mfcc=26, with_deltas=False)  # (t, 26) @ 100 Hz
-        t4 = (len(f) // 4) * 4
-        stacked = f[:t4].reshape(-1, 104)
-        out = np.zeros((T, 104), np.float32)
-        n = min(T, len(stacked))
-        out[:n] = stacked[:n]
-        return out
+    from ..data.audio_features import stacked_fbank as audio_fbank_stub
 
     @jax.jit
     def step(params, opt_state, video, audio_feats, targets, lengths, key):

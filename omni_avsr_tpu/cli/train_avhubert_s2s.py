@@ -109,7 +109,7 @@ def main(argv=None):
     if args.tiny:
         enc_cfg = AVHubertConfig(
             encoder_embed_dim=48, encoder_layers=2, encoder_heads=4,
-            encoder_ffn_dim=96, audio_feat_dim=26, lora_rank_divisor=None,
+            encoder_ffn_dim=96, audio_feat_dim=104, lora_rank_divisor=None,
         )
         dec_cfg = S2SDecoderConfig(
             vocab_size=len(d), pad_id=d.pad, eos_id=d.eos, embed_dim=32,
@@ -172,10 +172,13 @@ def main(argv=None):
         return tgt, lens
 
     @jax.jit
-    def train_step(params, opt_state, video, video_len, tgt, tgt_len, key):
+    def train_step(params, opt_state, video, audio_feats, video_len, tgt, tgt_len, key):
+        # audio_feats: (B, T, 104) stacked fbanks for --modality audiovisual,
+        # None for video-only (None is static under jit)
         def loss_fn(params):
             v = video_pipeline(key, video, video_len, train=True)
-            enc = avhubert_encode(params["enc"], enc_cfg, v, lengths=video_len)
+            enc = avhubert_encode(params["enc"], enc_cfg, v, audio=audio_feats,
+                                  lengths=video_len)
             if args.head == "s2s":
                 # teacher forcing: prev = [eos] + tgt[:-1] (fairseq convention)
                 prev = jnp.concatenate(
@@ -193,10 +196,11 @@ def main(argv=None):
 
         return optax.apply_updates(params, updates), opt_state, loss
 
+    from ..data.audio_features import batch_stacked_fbank
     from ..data.batching import CollateConfig, bucket_batches, collate
     from ..data.dataset import AVDataset
 
-    ds = AVDataset(args.root_dir, args.train_file, "video")
+    ds = AVDataset(args.root_dir, args.train_file, args.modality)
     tok = tok_stub(d)
     global_step = 0
     for epoch in range(args.max_epochs):
@@ -205,12 +209,14 @@ def main(argv=None):
         for batch_idx in bucket_batches(ds.input_lengths, args.max_frames, 10,
                                         shuffle=True, seed=epoch):
             samples = [ds[i] for i in batch_idx]
-            b = collate(samples, tok, CollateConfig(modality="video"))
+            b = collate(samples, tok, CollateConfig(modality=args.modality))
             texts = [s["text"] for s in samples]
             T = b["video"].shape[1]
             tgt, tgt_len = make_targets(texts, min(args.max_dec_len, T))
+            afeats = (jnp.asarray(batch_stacked_fbank(b["audio"], b["audio_len"], T))
+                      if args.modality == "audiovisual" else None)
             params, opt_state, loss = train_step(
-                params, opt_state, jnp.asarray(b["video"]),
+                params, opt_state, jnp.asarray(b["video"]), afeats,
                 jnp.asarray(b["video_len"]), jnp.asarray(tgt),
                 jnp.asarray(tgt_len), jax.random.fold_in(rng, global_step),
             )
@@ -220,20 +226,25 @@ def main(argv=None):
 
     # greedy WER over the test manifest (s2s head)
     if args.test_file and args.head == "s2s":
-        ds_t = AVDataset(args.root_dir, args.test_file, "video")
+        ds_t = AVDataset(args.root_dir, args.test_file, args.modality)
         acc = WerAccumulator()
 
         @jax.jit
-        def decode_fn(video, video_len):
+        def decode_fn(video, audio_feats, video_len):
             v = video_pipeline(None, video, video_len, train=False)
-            enc = avhubert_encode(params["enc"], enc_cfg, v, lengths=video_len)
+            enc = avhubert_encode(params["enc"], enc_cfg, v, audio=audio_feats,
+                                  lengths=video_len)
             return s2s_greedy_decode(params["head"], dec_cfg, enc, video_len,
                                      args.max_dec_len)
 
         for i in range(len(ds_t)):
             s = ds_t[i]
-            b = collate([s], tok, CollateConfig(modality="video", is_trainval=False))
-            ids = np.asarray(decode_fn(jnp.asarray(b["video"]),
+            b = collate([s], tok, CollateConfig(modality=args.modality,
+                                                is_trainval=False))
+            afeats = (jnp.asarray(batch_stacked_fbank(
+                b["audio"], b["audio_len"], b["video"].shape[1]))
+                if args.modality == "audiovisual" else None)
+            ids = np.asarray(decode_fn(jnp.asarray(b["video"]), afeats,
                                        jnp.asarray(b["video_len"])))[0]
             toks = [int(t) for t in ids]
             if d.eos in toks:

@@ -93,8 +93,22 @@ def _s2s_state_dict(D=64, layers=2, heads=4, ffn=128, dec_D=32, dec_layers=2,
     return sd
 
 
+def test_stacked_fbank_shapes():
+    from omni_avsr_tpu.data.audio_features import batch_stacked_fbank, stacked_fbank
+
+    audio = np.random.RandomState(0).randn(24 * 640).astype(np.float32)
+    f = stacked_fbank(audio, 24)
+    assert f.shape == (24, 104) and f.dtype == np.float32
+    batch = np.stack([audio, audio * 0.5])
+    fb = batch_stacked_fbank(batch, np.array([24 * 640, 20 * 640]), 24)
+    assert fb.shape == (2, 24, 104)
+    # the shorter waveform yields fewer populated frames
+    assert np.allclose(fb[1, 22:], 0.0)
+
+
 @pytest.mark.slow
-def test_eval_avhubert_s2s_cli(tmp_path, capsys):
+@pytest.mark.parametrize("modality", ["video", "audiovisual"])
+def test_eval_avhubert_s2s_cli(tmp_path, capsys, modality):
     from omni_avsr_tpu.cli.eval_avhubert_s2s import main
     from omni_avsr_tpu.data.synthetic import WORDS, generate_corpus
 
@@ -111,7 +125,7 @@ def test_eval_avhubert_s2s_cli(tmp_path, capsys):
     main([
         "--ckpt", ckpt, "--dict", dict_path,
         "--root-dir", str(tmp_path), "--test-file", test_csv,
-        "--modality", "video", "--num-beams", "3", "--max-len", "6",
+        "--modality", modality, "--num-beams", "3", "--max-len", "6",
         "--encoder-layers", "2", "--encoder-dim", "64",
         "--encoder-heads", "4", "--encoder-ffn-dim", "128",
         "--decoder-layers", "2", "--decoder-embed-dim", "32",
@@ -119,3 +133,14 @@ def test_eval_avhubert_s2s_cli(tmp_path, capsys):
     ])
     out = capsys.readouterr().out
     assert "WER:" in out and "HYP" in out
+
+
+@pytest.mark.slow
+def test_train_avhubert_s2s_audiovisual_synthetic(tmp_path, capsys):
+    from omni_avsr_tpu.cli.train_avhubert_s2s import main
+
+    main([
+        "--synthetic", "2", "--max-epochs", "1", "--modality", "audiovisual",
+        "--exp-dir", str(tmp_path / "s2s_av"), "--max-dec-len", "6",
+    ])
+    assert "WER:" in capsys.readouterr().out
