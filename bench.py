@@ -51,8 +51,6 @@ def main():
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
     dev_batch["audio_trim_len"] = 325  # whisper_token_len(6.4 s) -> 320, bucket 325
 
-    # warmup / compile (also materialises the jitted decode program)
-    engine.decode_batch(merged, dict(dev_batch), "audiovisual", 4, 2, num_beams=1)
     decode_fn = engine._decode_fn("audiovisual", 4, 2, 325, 1,
                                   model.cfg.max_dec_tokens)
     arrays = {k: v for k, v in dev_batch.items()
@@ -62,14 +60,14 @@ def main():
     # run the timing loop ON DEVICE (one dispatch, chained iterations):
     # the dev relay costs ~28 ms per host dispatch, which would otherwise
     # pollute the measurement (see .claude/skills/verify/SKILL.md)
+    from omni_avsr_tpu.utils.profiling import chain_iteration
+
     n_iters = 10
 
     @jax.jit
     def timed(params, arrays):
         def body(i, acc):
-            b = dict(arrays)
-            b["audio"] = b["audio"] + (acc % 2).astype(b["audio"].dtype) * 0
-            ids = decode_fn(params, b, rng)
+            ids = decode_fn(params, chain_iteration(arrays, acc), rng)
             return acc + jnp.sum(ids)
 
         return jax.lax.fori_loop(0, n_iters, body, jnp.int32(0))

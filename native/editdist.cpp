@@ -156,15 +156,4 @@ void bleu_add(const int32_t* ref, int64_t nref,
   }
 }
 
-// Batched variant over flattened id arrays with offsets (like
-// edit_distance_batch); accumulates into one shared out[10].
-void bleu_stats_batch(const int32_t* refs, const int64_t* ref_offsets,
-                      const int32_t* hyps, const int64_t* hyp_offsets,
-                      int64_t n, int64_t* out) {
-  for (int64_t i = 0; i < n; ++i) {
-    bleu_add(refs + ref_offsets[i], ref_offsets[i + 1] - ref_offsets[i],
-             hyps + hyp_offsets[i], hyp_offsets[i + 1] - hyp_offsets[i], out);
-  }
-}
-
 }  // extern "C"

@@ -97,3 +97,18 @@ def checkify_step(step_fn: Callable) -> Callable:
         return out
 
     return wrapped
+
+
+def chain_iteration(batch: dict, acc, key: str = "audio") -> dict:
+    """Thread a loop-carried dependency into a benchmark batch so XLA cannot
+    hoist the body out of an on-device timing loop (`lax.fori_loop`).
+
+    Adds `acc * 1e-38` to one input: numerically negligible (subnormal-scale
+    against O(0.1) audio samples) but not provably zero, unlike a
+    multiply-by-zero which the algebraic simplifier may fold, silently
+    turning an n-iteration measurement into one iteration.
+    """
+    b = dict(batch)
+    x = b[key]
+    b[key] = x + acc.astype(x.dtype) * jnp.asarray(1e-38, x.dtype)
+    return b

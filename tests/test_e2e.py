@@ -67,3 +67,16 @@ def test_preprocess_cli(tmp_path):
     roi_path = [o for o in outs if "preprocessed" in o][0]
     rois = load_video(str(tmp_path / roi_path))
     assert rois.shape[1:3] == (96, 96)
+
+
+@pytest.mark.slow
+def test_train_avhubert_s2s_audiovisual_synthetic(tmp_path, capsys):
+    """Audiovisual AV-HuBERT fine-tune smoke: stacked-fbank audio branch
+    through train step and test decode (torch-free path)."""
+    from omni_avsr_tpu.cli.train_avhubert_s2s import main
+
+    main([
+        "--synthetic", "2", "--max-epochs", "1", "--modality", "audiovisual",
+        "--exp-dir", str(tmp_path / "s2s_av"), "--max-dec-len", "6",
+    ])
+    assert "WER:" in capsys.readouterr().out

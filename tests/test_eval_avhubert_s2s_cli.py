@@ -94,16 +94,41 @@ def _s2s_state_dict(D=64, layers=2, heads=4, ffn=128, dec_D=32, dec_layers=2,
 
 
 def test_stacked_fbank_shapes():
-    from omni_avsr_tpu.data.audio_features import batch_stacked_fbank, stacked_fbank
+    from omni_avsr_tpu.data.audio_features import (
+        batch_stacked_fbank,
+        logfbank,
+        stacked_fbank,
+        stacker,
+    )
 
     audio = np.random.RandomState(0).randn(24 * 640).astype(np.float32)
+    # psf round-up framing: T*640 samples -> 4T-1 frames @ 100 Hz, so the
+    # zero-padding stacker returns exactly T video-aligned frames
+    base = logfbank(audio)
+    assert base.shape == (4 * 24 - 1, 26)
+    assert stacker(base).shape == (24, 104)
     f = stacked_fbank(audio, 24)
     assert f.shape == (24, 104) and f.dtype == np.float32
+    # per-frame layer_norm: each populated frame is standardized
+    assert np.allclose(f.mean(axis=1), 0.0, atol=1e-4)
+    assert np.allclose(f.var(axis=1), 1.0, atol=1e-2)
     batch = np.stack([audio, audio * 0.5])
     fb = batch_stacked_fbank(batch, np.array([24 * 640, 20 * 640]), 24)
     assert fb.shape == (2, 24, 104)
-    # the shorter waveform yields fewer populated frames
-    assert np.allclose(fb[1, 22:], 0.0)
+    # the shorter waveform populates only its own 20 frames
+    assert np.allclose(fb[1, 20:], 0.0)
+    assert not np.allclose(fb[1, 19], 0.0)
+
+
+def test_stacker_zero_pads_remainder():
+    from omni_avsr_tpu.data.audio_features import stacker
+
+    feats = np.arange(10, dtype=np.float32).reshape(5, 2)
+    out = stacker(feats, 4)
+    assert out.shape == (2, 8)
+    # the 5th frame survives in the second stacked row, remainder zeros
+    assert out[1, :2].tolist() == [8.0, 9.0]
+    assert np.allclose(out[1, 2:], 0.0)
 
 
 @pytest.mark.slow
@@ -134,13 +159,3 @@ def test_eval_avhubert_s2s_cli(tmp_path, capsys, modality):
     out = capsys.readouterr().out
     assert "WER:" in out and "HYP" in out
 
-
-@pytest.mark.slow
-def test_train_avhubert_s2s_audiovisual_synthetic(tmp_path, capsys):
-    from omni_avsr_tpu.cli.train_avhubert_s2s import main
-
-    main([
-        "--synthetic", "2", "--max-epochs", "1", "--modality", "audiovisual",
-        "--exp-dir", str(tmp_path / "s2s_av"), "--max-dec-len", "6",
-    ])
-    assert "WER:" in capsys.readouterr().out
