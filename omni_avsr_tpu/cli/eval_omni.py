@@ -17,7 +17,7 @@ from ..config import TrainConfig
 from ..data.datamodule import DataModule
 from ..data.noise import load_noise_bank
 from ..train.engine import OmniEngine
-from ..utils.metrics import WerAccumulator
+from ..utils.metrics import BleuScorer, WerAccumulator
 from .common import (
     add_common_args,
     build_data_config,
@@ -46,6 +46,9 @@ def parse_args(argv=None):
                    help="print gold vs generated per sample (`lightning:203-204`)")
     p.add_argument("--output-json", default=None,
                    help="write the WER results dict to this path")
+    p.add_argument("--score-bleu", type=str2bool, default=False,
+                   help="also report corpus BLEU-4 per setting (fairseq "
+                        "libbleu equivalent)")
     return p.parse_args(argv)
 
 
@@ -103,16 +106,21 @@ def main(argv=None):
         dm = DataModule(data_cfg, model.tok, modality=task)
         for ra, rv in rate_grid(args, model, task):
             acc = WerAccumulator()
+            bleu = BleuScorer() if args.score_bleu else None
             for batch in dm.test_batches(args.test_batch_size):
                 hyps = engine.decode_batch(merged, batch, task, ra, rv)
                 for ref, hyp in zip(batch["gold_text"], hyps):
                     acc.update(ref, hyp)
+                    if bleu is not None:
+                        bleu.update(ref, hyp)
                     if args.print_hyp:
                         print(f"GOLD: {ref}\nHYP : {hyp}")
             key = f"{task} (a={ra}, v={rv})"
             results[key] = acc.wer
             print(f"WER {key}: {acc.wer:.4f} "
                   f"({acc.total_edit_distance}/{acc.total_length})")
+            if bleu is not None:
+                print(f"{key}: {bleu.result_string()}")
 
     print("\n=== summary ===")
     for k, v in results.items():

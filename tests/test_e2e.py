@@ -80,3 +80,15 @@ def test_train_avhubert_s2s_audiovisual_synthetic(tmp_path, capsys):
         "--exp-dir", str(tmp_path / "s2s_av"), "--max-dec-len", "6",
     ])
     assert "WER:" in capsys.readouterr().out
+
+@pytest.mark.slow
+def test_eval_omni_score_bleu(tmp_path, capsys):
+    from omni_avsr_tpu.cli.eval_omni import main
+
+    main([
+        "--synthetic", "2", "--exp-dir", str(tmp_path / "bleu"),
+        "--num-beams", "1", "--max-dec-tokens", "4",
+        "--test-specific-modality", "audio", "--test-specific-ratio", "4",
+        "--score-bleu", "true",
+    ])
+    assert "BLEU4" in capsys.readouterr().out
