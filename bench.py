@@ -37,10 +37,9 @@ def main():
     engine = OmniEngine(model, params, TrainConfig(), 1.0, noise_bank=None, seed=0)
     merged = engine.merged_params()
     if os.environ.get("BENCH_INT8"):  # measurement mode: int8 decode weights
-        from omni_avsr_tpu.ops.quant import quantize_llm_params
+        from omni_avsr_tpu.ops.quant import quantize_decode_params
 
-        merged = dict(merged)
-        merged["llm"] = quantize_llm_params(merged["llm"])
+        merged = quantize_decode_params(merged)
 
     frames = 160  # 6.4 s clip @ 25 fps
     secs = frames / 25.0

@@ -87,10 +87,10 @@ def main(argv=None):
     )
     merged = engine.merged_params()
     if args.quantize_decode == "int8":
-        from ..ops.quant import quantize_llm_params
+        from ..ops.quant import quantize_decode_params
 
         merged = dict(merged)
-        merged["llm"] = quantize_llm_params(merged["llm"])
+        merged = quantize_decode_params(merged)
 
     if args.test_specific_modality:
         tasks = [args.test_specific_modality]

@@ -125,3 +125,38 @@ def quantize_llm_params(params: Dict, quantize_unembed: bool = True) -> Dict:
         else:  # tied embeddings: quantize a transposed copy for the head
             out["lm_head"] = quantize_per_channel(params["embed"]["w"].T)
     return out
+
+
+def quantize_tower_params(params: Dict) -> Dict:
+    """Quantize a frozen encoder tower's stacked transformer matrices (the
+    `layers` subtree's attn q/k/v/o and fc weights, (L, in, out)) to int8.
+
+    Everything else stays put: conv frontends and pos-conv (3-D weights too,
+    but consumed by conv ops, not `linear` — they live OUTSIDE `layers`),
+    norms/biases, and LoRA adapters (tiny traffic; skipped by name so their
+    scaling math is untouched)."""
+    def walk(node, in_layers: bool):
+        if not isinstance(node, dict):
+            return node
+        w = node.get("w")
+        if (in_layers and w is not None and hasattr(w, "ndim")
+                and w.ndim == 3 and w.dtype != jnp.int8):
+            return {**node, **jax.vmap(quantize_per_channel)(w)}
+        return {
+            k: (v if k == "lora" else walk(v, in_layers or k == "layers"))
+            for k, v in node.items()
+        }
+
+    return walk(params, False)
+
+
+def quantize_decode_params(merged: Dict) -> Dict:
+    """int8 weight-only quantization of ALL frozen decode-path weights:
+    the LLM (quantize_llm_params) plus the Whisper and AV-HuBERT encoder
+    towers. One call site for `--quantize-decode int8` / serving."""
+    out = dict(merged)
+    out["llm"] = quantize_llm_params(merged["llm"])
+    for tower in ("whisper", "avhubert"):
+        if tower in merged:
+            out[tower] = quantize_tower_params(merged[tower])
+    return out

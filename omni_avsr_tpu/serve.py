@@ -44,10 +44,10 @@ class Transcriber:
                                  inference_only=True)
         self.params = self.engine.merged_params()
         if quantize == "int8":
-            from .ops.quant import quantize_llm_params
+            from .ops.quant import quantize_decode_params
 
             self.params = dict(self.params)
-            self.params["llm"] = quantize_llm_params(self.params["llm"])
+            self.params = quantize_decode_params(self.params)
         self.num_beams = num_beams if num_beams is not None else model.cfg.num_beams
         self.max_new = max_new_tokens if max_new_tokens is not None else model.cfg.max_dec_tokens
         self.video_pad_multiple = video_pad_multiple

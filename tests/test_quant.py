@@ -70,3 +70,31 @@ def test_quantized_llm_decode_matches_fp():
     # int8 is lossy; demand >= 80% token agreement on random weights
     agree = (np.asarray(fp) == np.asarray(q8)).mean()
     assert agree >= 0.8, agree
+
+
+def test_quantize_tower_params_structure_and_numerics():
+    """Tower quantization hits only the stacked layer matrices: convs,
+    pos-conv, norms, and LoRA stay float; encode output stays close."""
+    import numpy as np
+
+    from omni_avsr_tpu.config import AVHubertConfig
+    from omni_avsr_tpu.models.avhubert import avhubert_encode, init_avhubert
+    from omni_avsr_tpu.ops.quant import quantize_tower_params
+
+    cfg = AVHubertConfig(encoder_layers=2, encoder_embed_dim=64,
+                         encoder_heads=4, encoder_ffn_dim=128,
+                         lora_rank_divisor=16)
+    p = init_avhubert(jax.random.PRNGKey(0), cfg)
+    q = quantize_tower_params(p)
+    assert q["layers"]["attn"]["q"]["w"].dtype == jnp.int8
+    assert "s" in q["layers"]["attn"]["q"]
+    assert q["layers"]["fc1"]["w"].dtype == jnp.int8
+    # conv frontends / pos-conv / lora untouched
+    assert q["pos_conv"]["w"].dtype == p["pos_conv"]["w"].dtype
+    assert q["layers"]["lora"]["down_q"]["w"].dtype != jnp.int8
+    video = jnp.asarray(np.random.RandomState(1).rand(1, 8, 88, 88, 1)
+                        .astype(np.float32))
+    a = avhubert_encode(p, cfg, video)
+    b = avhubert_encode(q, cfg, video)
+    rel = float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(a)))
+    assert rel < 0.02
