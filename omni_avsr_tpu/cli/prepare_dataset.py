@@ -57,6 +57,8 @@ def process_clip(args_tuple: Tuple[str, str, str, Optional[str], str]) -> Option
         rois = extract_mouth_rois(
             frames, detector(frames), load_mean_face(mean_face_path)
         )
+        if rois is None:
+            raise ValueError("no usable landmarks / clip shorter than smooth window")
         base = os.path.splitext(os.path.basename(clip))[0]
         clip_out_dir = os.path.join(out_dir, dataset_name)
         os.makedirs(clip_out_dir, exist_ok=True)

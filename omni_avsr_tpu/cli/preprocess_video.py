@@ -38,14 +38,18 @@ def extract_audio(video_path: str, wav_path: str) -> bool:
 
 
 def write_video(path: str, frames: np.ndarray, fps: float = 25.0) -> str:
+    """Write (T, H, W[, 3]) uint8 frames; grayscale ROIs (the reference
+    pipeline's output) are replicated to 3 channels for the mp4 writer."""
     try:
         import cv2
 
         T, H, W = frames.shape[:3]
+        gray = frames.ndim == 3
         vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (W, H))
         if vw.isOpened():
             for f in frames:
-                vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+                vw.write(cv2.cvtColor(f, cv2.COLOR_GRAY2BGR) if gray
+                         else cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
             vw.release()
             if os.path.getsize(path) > 0:
                 return path
@@ -76,6 +80,11 @@ def main(argv=None):
     landmarks = detector(frames)
     mean_face = load_mean_face(args.mean_face_path)
     rois = extract_mouth_rois(frames, landmarks, mean_face)
+    if rois is None:
+        raise SystemExit(
+            "no usable landmarks (no detections, or clip shorter than the "
+            "12-frame smoothing window) — cannot preprocess this clip"
+        )
 
     video_out = write_video(os.path.join(out_dir, base + "_preprocessed.mp4"), rois)
     wav_out = os.path.join(out_dir, base + ".wav")

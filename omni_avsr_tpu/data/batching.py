@@ -49,7 +49,17 @@ def bucket_batches(
 
     lengths = np.asarray(lengths)
     lo, hi = int(lengths.min()), int(lengths.max())
-    assert max_frames >= hi, f"max_frames {max_frames} < longest sample {hi}"
+    if hi > max_frames:
+        # Reference packing puts an over-budget sample in its own batch
+        # (`data_module.py:82-144` greedy loop) rather than failing; warn so
+        # real-corpus outliers are visible but non-fatal.
+        import warnings
+
+        n_long = int((lengths > max_frames).sum())
+        warnings.warn(
+            f"{n_long} sample(s) exceed max_frames={max_frames} "
+            f"(longest {hi}); each becomes its own batch"
+        )
     boundaries = np.linspace(lo, hi, num_buckets)
     assignments = np.searchsorted(boundaries, lengths, side="left")
     items = [(int(i), int(l), int(b)) for i, (l, b) in enumerate(zip(lengths, assignments))]

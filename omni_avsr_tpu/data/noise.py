@@ -20,6 +20,13 @@ def load_noise_bank(noise_path: Optional[str], seconds: float = 60.0, seed: int 
         from .dataset import load_audio
 
         return load_audio(noise_path)
+    import warnings
+
+    warnings.warn(
+        "no --noise-path given: using a SYNTHESIZED speech-shaped babble "
+        "surrogate, not the reference `babble_noise.wav` — SNR-sweep WER "
+        "will not be comparable to the paper's noise condition"
+    )
     return synth_babble(seconds, seed)
 
 

@@ -87,7 +87,17 @@ class Transcriber:
             from .train.state import merge_params
 
             base = kwargs.pop("base_params", None)
+            allow_random = kwargs.pop("allow_random_base", False)
             if base is None:
+                if not allow_random:
+                    raise ValueError(
+                        "framework checkpoints store only the trainable split "
+                        "(LoRA/projectors); the frozen Whisper/AV-HuBERT/LLM "
+                        "towers must come from `base_params` (converted torch "
+                        "weights — see omni_avsr_tpu.convert). Loading without "
+                        "them would silently produce garbage transcripts. Pass "
+                        "base_params=..., or allow_random_base=True for tests."
+                    )
                 base = model.init_params(jax.random.PRNGKey(0))
             path = checkpoint_path
             if not os.path.basename(path).startswith("step_"):
@@ -150,10 +160,12 @@ class Transcriber:
         path: str,
         preprocessed: bool = False,
         detector: str = "auto",
+        mean_face_path: Optional[str] = None,
         **kwargs,
     ) -> str:
         """mp4 (+ sibling wav) -> transcript. With preprocessed=False the
-        mouth-ROI chain runs first (reference single-clip demo flow)."""
+        mouth-ROI chain runs first (reference single-clip demo flow); pass
+        mean_face_path to warp onto the reference `20words_mean_face.npy`."""
         from .data.dataset import load_audio, load_video
 
         frames = load_video(path)
@@ -167,7 +179,16 @@ class Transcriber:
             from .preprocess.video_process import extract_mouth_rois
 
             det = build_detector(detector)
-            frames = extract_mouth_rois(frames, det(frames), load_mean_face())
+            frames = extract_mouth_rois(
+                frames, det(frames), load_mean_face(mean_face_path)
+            )
+            if frames is None:
+                raise ValueError(
+                    f"{path}: no usable landmarks or clip shorter than the "
+                    "12-frame smoothing window"
+                )
+            # reference ROIs are grayscale; the model pipeline takes 3-channel
+            frames = np.repeat(frames[..., None], 3, axis=-1)
         if audio is not None:
             audio = audio[: len(frames) * 640]
         return self.transcribe(audio=audio, video=frames, **kwargs)

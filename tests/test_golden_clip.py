@@ -30,7 +30,8 @@ def rois():
 
 
 def test_mouth_roi_chain_on_real_clip(rois):
-    assert rois.shape == (155, 96, 96, 3)
+    # reference pipeline emits grayscale ROIs (convert_gray=True)
+    assert rois.shape == (155, 96, 96)
     assert rois.dtype == np.uint8
     # crops are not constant (actual image content survived the warp)
     assert rois.std() > 5.0
@@ -45,5 +46,6 @@ def test_vsr_decode_on_real_clip(rois):
     model = tiny_omni()
     params = model.init_params(jax.random.PRNGKey(0))
     t = Transcriber(model, params, num_beams=2, max_new_tokens=4)
-    text = t.transcribe(video=rois[:64], modality="video")
+    video = np.repeat(rois[:64, ..., None], 3, axis=-1)
+    text = t.transcribe(video=video, modality="video")
     assert isinstance(text, str)

@@ -14,9 +14,11 @@ def test_prepare_dataset_end_to_end(tmp_path):
     raw.mkdir()
     rng = np.random.RandomState(0)
     for i in range(4):
-        frames = rng.randint(0, 255, (10 + i, 120, 120, 3), dtype=np.uint8)
+        # >= 12 frames: the reference tail skips clips shorter than the
+        # smoothing window (video_process.py:80-84)
+        frames = rng.randint(0, 255, (14 + i, 120, 120, 3), dtype=np.uint8)
         path = _write_video(str(raw / f"clip{i}.mp4"), frames)
-        _write_wav(str(raw / f"clip{i}.wav"), rng.randn((10 + i) * 640).astype(np.float32) * 0.1)
+        _write_wav(str(raw / f"clip{i}.wav"), rng.randn((14 + i) * 640).astype(np.float32) * 0.1)
         with open(str(raw / f"clip{i}.txt"), "w") as f:
             f.write(f"Text:  hello world {i}\n")
 
