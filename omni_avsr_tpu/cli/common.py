@@ -78,6 +78,16 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--whisper-path", default=None, help="HF whisper dir or .bin/.safetensors")
     p.add_argument("--llm-path", default=None, help="HF llama/qwen dir")
     p.add_argument("--seed", type=int, default=42)
+    # multi-host / mesh (reference: lightning DDP `--num_nodes`,
+    # `train_OmniAVSR.py:40-56`; here jax.distributed + a global mesh)
+    p.add_argument("--num-nodes", type=int, default=1,
+                   help="number of hosts; >1 initializes jax.distributed")
+    p.add_argument("--coordinator-address", default=None,
+                   help="host:port of process 0 (SLURM auto-detected if unset)")
+    p.add_argument("--node-rank", type=int, default=None,
+                   help="this process's rank (SLURM_PROCID if unset)")
+    p.add_argument("--mesh-tp", type=int, default=1,
+                   help="tensor-parallel mesh axis size (devices split dp x tp)")
     # offline smoke mode
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate N synthetic train clips and run offline with a tiny model")
@@ -210,6 +220,64 @@ def build_params(args, model: OmniAVSR) -> Dict[str, Any]:
         trained = jax.tree_util.tree_map(lambda x: jnp.asarray(x), trained)
         params = merge_params(trained, params)
     return params
+
+
+def setup_distributed(args) -> bool:
+    """Call FIRST in a train CLI main (before anything touches jax devices).
+    Returns True when running multi-process."""
+    from ..parallel.distributed import maybe_initialize_distributed
+
+    return maybe_initialize_distributed(
+        num_nodes=getattr(args, "num_nodes", 1),
+        coordinator_address=getattr(args, "coordinator_address", None),
+        node_rank=getattr(args, "node_rank", None),
+    )
+
+
+def setup_parallelism(args, params):
+    """Build the global (dp, tp) mesh + batch feed when multi-process or
+    tp > 1 is requested; otherwise (None, identity).
+
+    The feed slices each host's rows out of the deterministic global batch
+    stream (every host iterates the same batches — seeds are shared — and
+    keeps rows [p*k, (p+1)*k)) and assembles global dp-sharded arrays via
+    `jax.make_array_from_process_local_data`. LLM params are sharded over
+    tp in place."""
+    use_mesh = jax.process_count() > 1 or getattr(args, "mesh_tp", 1) > 1
+    if not use_mesh:
+        return None, (lambda b: b)
+
+    import numpy as np
+
+    from ..config import MeshConfig
+    from ..parallel.distributed import global_batch_from_local, host_shard_slice
+    from ..parallel.mesh import make_mesh
+    from ..parallel.partitioning import llm_partition_specs, shard_params
+
+    n = len(jax.devices())
+    tp = args.mesh_tp
+    assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
+    mesh = make_mesh(MeshConfig(dp=n // tp, tp=tp))
+    params["llm"] = shard_params(mesh, params["llm"],
+                                 llm_partition_specs(params["llm"]))
+
+    P_ = jax.process_count()
+
+    def feed(batch):
+        arrays = {k: v for k, v in batch.items()
+                  if not isinstance(v, (int, float, str, list))}
+        rest = {k: v for k, v in batch.items() if k not in arrays}
+        B = next(iter(arrays.values())).shape[0]
+        assert B % P_ == 0, (
+            f"global batch {B} not divisible by {P_} processes — raise the "
+            f"batch bucket size or lower --num-nodes")
+        sl = host_shard_slice(B)
+        local = {k: np.asarray(v)[sl] for k, v in arrays.items()}
+        out = global_batch_from_local(mesh, local)
+        out.update(rest)
+        return out
+
+    return mesh, feed
 
 
 def build_data_config(args) -> DataConfig:

@@ -32,6 +32,8 @@ from .common import (
     build_model,
     build_params,
     maybe_synthetic,
+    setup_distributed,
+    setup_parallelism,
     str2bool,
 )
 
@@ -62,12 +64,14 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    setup_distributed(args)  # before anything initializes the xla backend
     maybe_synthetic(args)
     os.makedirs(args.exp_dir, exist_ok=True)
     ckpt_dir = os.path.join(args.exp_dir, args.exp_name, "checkpoints")
 
     model = build_model(args)
     params = build_params(args, model)
+    mesh, feed = setup_parallelism(args, params)
     data_cfg = build_data_config(args)
     dm = DataModule(data_cfg, model.tok, modality=args.modality,
                     downsample_video=(None if args.is_matryoshka
@@ -96,7 +100,8 @@ def main(argv=None):
         t0 = time.time()
         n, loss_sum, loss_n = 0, 0.0, 0
         for batch in dm.train_batches(epoch):
-            loss = engine.single_train_step(batch, args.modality)
+            loss = engine.single_train_step(
+                feed(batch) if mesh is not None else batch, args.modality)
             n += 1
             if n % 10 == 0 or n == 1:
                 loss_sum += float(loss)
@@ -104,7 +109,8 @@ def main(argv=None):
                 logger.log(int(engine.state.step), {"loss": float(loss)})
         val_sum, val_n = 0.0, 0
         for batch in dm.val_batches():
-            val_sum += float(engine.single_eval_step(batch, args.modality))
+            val_sum += float(engine.single_eval_step(
+                feed(batch) if mesh is not None else batch, args.modality))
             val_n += 1
         print(f"epoch {epoch}: loss={loss_sum / max(loss_n, 1):.4f} "
               f"loss_val={val_sum / max(val_n, 1):.4f} steps={n} "

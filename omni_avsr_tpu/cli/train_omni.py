@@ -32,6 +32,8 @@ from .common import (
     build_model,
     build_params,
     maybe_synthetic,
+    setup_distributed,
+    setup_parallelism,
     str2bool,
 )
 
@@ -61,6 +63,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    setup_distributed(args)  # before anything initializes the xla backend
     maybe_synthetic(args)
     # the unified Omni model trains all three tasks per batch and therefore
     # needs AV data (the reference's trainer is the same 3-task design,
@@ -76,6 +79,7 @@ def main(argv=None):
 
     model = build_model(args)
     params = build_params(args, model)
+    mesh, feed = setup_parallelism(args, params)
     data_cfg = build_data_config(args)
     dm = DataModule(data_cfg, model.tok, modality=args.modality)
     steps_per_epoch = max(dm.steps_per_epoch(), 1)
@@ -107,13 +111,17 @@ def main(argv=None):
 
     from ..utils.profiling import StepTimer, find_nonfinite, trace
 
+    from ..parallel.distributed import is_primary
+
     timer = StepTimer()
     for epoch in range(start_epoch, args.max_epochs):
         t0 = time.time()
         n, loss_sum, loss_n = 0, 0.0, 0
         from ..utils.prefetch import device_prefetch
 
-        for batch in device_prefetch(dm.train_batches(epoch)):
+        batches = (map(feed, dm.train_batches(epoch)) if mesh is not None
+                   else device_prefetch(dm.train_batches(epoch)))
+        for batch in batches:
             with trace(args.profile_dir if (epoch == start_epoch and 2 <= n <= 4) else None):
                 loss = engine.train_step(batch)
             timer.tick()
@@ -136,31 +144,46 @@ def main(argv=None):
         # validation (reference logs loss_val + per-task, `lightning:185-190`)
         val_n, val_sum = 0, 0.0
         for batch in dm.val_batches():
-            total, _ = engine.eval_step(batch)
+            total, _ = engine.eval_step(feed(batch) if mesh is not None else batch)
             val_sum += float(total)
             val_n += 1
         val_loss = val_sum / max(val_n, 1)
         dt = time.time() - t0
-        print(f"epoch {epoch}: train_loss={train_loss:.4f} val_loss={val_loss:.4f} "
-              f"steps={n} ({dt:.1f}s)")
-        logger.log(int(engine.state.step), {"epoch": epoch, "loss_val": val_loss})
-        save_checkpoint(ckpt_dir, int(engine.state.step), engine.state,
-                        keep=args.num_check_save)
+        if is_primary():
+            print(f"epoch {epoch}: train_loss={train_loss:.4f} val_loss={val_loss:.4f} "
+                  f"steps={n} ({dt:.1f}s)")
+            logger.log(int(engine.state.step), {"epoch": epoch, "loss_val": val_loss})
+            # multi-host: gather the (replicated) state to host numpy first so
+            # the primary-only orbax save never waits on a cross-host barrier
+            ckpt_state = (jax.tree_util.tree_map(np.asarray, engine.state)
+                          if mesh is not None else engine.state)
+            save_checkpoint(ckpt_dir, int(engine.state.step), ckpt_state,
+                            keep=args.num_check_save)
 
     # post-training weight averaging (`utils/avg_checkpoints.py:34-44`);
     # saved OUTSIDE ckpt_dir so --auto-resume never resumes from averaged
-    # weights with stale optimizer moments
-    avg = average_last_n(ckpt_dir, engine.state, min(args.num_average_epochs, args.max_epochs))
+    # weights with stale optimizer moments. Multi-host: primary only (the
+    # checkpoints live on the primary's disk); other hosts are done.
+    if not is_primary():
+        return
+    template = (jax.tree_util.tree_map(np.asarray, engine.state)
+                if mesh is not None else engine.state)
+    avg = average_last_n(ckpt_dir, template, min(args.num_average_epochs, args.max_epochs))
     engine.state = engine.state._replace(
         trainable=jax.tree_util.tree_map(lambda x: jax.numpy.asarray(x), avg)
     )
     avg_dir = os.path.join(args.exp_dir, args.exp_name,
                            f"model_avg_{args.num_average_epochs}")
-    save_checkpoint(avg_dir, int(engine.state.step), engine.state, keep=0)
+    save_checkpoint(avg_dir, int(engine.state.step),
+                    template._replace(trainable=avg), keep=0)
     print(f"averaged last {args.num_average_epochs} checkpoints -> {avg_dir}")
 
     if args.auto_test and args.test_file:
-        run_auto_test(args, model, engine, dm, logger)
+        if jax.process_count() > 1:
+            print("auto-test skipped under multi-host training — run "
+                  "cli/eval_omni on one host against the averaged checkpoint")
+        else:
+            run_auto_test(args, model, engine, dm, logger)
     logger.close()
 
 

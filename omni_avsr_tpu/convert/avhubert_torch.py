@@ -141,9 +141,10 @@ def convert_avhubert(
     import jax
 
     out = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
-    # trainable LoRA adapters keep f32 masters (matches convert_llm)
-    if "lora" in out["layers"]:
+    # trainable LoRA masters convert straight from torch at f32 (a bf16
+    # round trip would quantize them; matches convert_llm)
+    if "lora" in params["layers"]:
         out["layers"]["lora"] = jax.tree_util.tree_map(
-            lambda x: x.astype(lora_dtype), out["layers"]["lora"]
+            lambda x: jnp.asarray(x, lora_dtype), params["layers"]["lora"]
         )
     return out

@@ -103,15 +103,15 @@ def convert_llm(
     out = {}
     for k, v in params.items():
         out[k] = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), v)
-    # LoRA adapters train: keep them f32
+    # LoRA adapters train: convert them straight from the torch values at
+    # lora_dtype (NOT via the frozen dtype — a bf16 round trip would quantize
+    # the trainable master weights)
     if cfg.lora is not None:
-        def recast_lora(layer_tree):
-            for key in ("lora", "lora_shared"):
-                if key in layer_tree:
-                    layer_tree[key] = jax.tree_util.tree_map(
-                        lambda x: x.astype(lora_dtype), layer_tree[key]
-                    )
-        recast_lora(out["layers"])
+        for key in ("lora", "lora_shared"):
+            if key in params["layers"]:
+                out["layers"][key] = jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(x, lora_dtype), params["layers"][key]
+                )
     return out
 
 

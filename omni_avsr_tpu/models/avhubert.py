@@ -138,16 +138,21 @@ def _encoder_layer(
     q = q.reshape(B, T, H, hd)
     k = k.reshape(B, T, H, hd)
     v = v.reshape(B, T, H, hd)
-    from ..ops.attention import on_tpu
+    from ..ops.attention import FLASH_MIN_T_TRAIN, on_tpu
 
-    # flash kernel (fwd+bwd, 1.4x over XLA here) whenever attention-prob
-    # dropout is inactive — the kernel has no in-kernel dropout
-    if on_tpu() and hd in (64, 128) and T >= 256 and (
-        k_attn is None or cfg.attention_dropout <= 0.0
-    ):
+    # flash kernel fwd+bwd — attention-prob dropout runs IN-kernel
+    # (position-hash mask), so the training configuration (fairseq keeps
+    # attn dropout active in train mode) uses it too instead of falling
+    # back to XLA. Gate tuned on-chip: benchmarks/attention_sweep.py.
+    if on_tpu() and hd in (64, 128) and T >= FLASH_MIN_T_TRAIN:
         from ..ops.flash_attention_bwd import flash_attention_trainable
 
-        out = flash_attention_trainable(q, k, v, kv_lengths=lengths)
+        rate, seed = 0.0, None
+        if k_attn is not None and cfg.attention_dropout > 0.0:
+            rate = cfg.attention_dropout
+            seed = jax.random.randint(k_attn, (), 0, 2**31 - 1, dtype=jnp.int32)
+        out = flash_attention_trainable(q, k, v, kv_lengths=lengths,
+                                        dropout_rate=rate, dropout_seed=seed)
     else:
         out = dot_product_attention(
             q, k, v, mask=mask, dropout_rng=k_attn, dropout_rate=cfg.attention_dropout

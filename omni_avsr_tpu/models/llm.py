@@ -261,12 +261,13 @@ def llm_backbone(
     remat: bool = True,
 ) -> jax.Array:
     """Run the decoder stack, return final hidden states (pre final-norm)."""
-    from ..ops.attention import on_tpu
+    from ..ops.attention import FLASH_MIN_T_TRAIN, on_tpu
 
     B, T, _ = inputs_embeds.shape
     cos, sin = rope_cos_sin(cfg, positions)
     flash_causal = (
-        mask is None and on_tpu() and cfg.head_dim in (64, 128) and T >= 256
+        mask is None and on_tpu() and cfg.head_dim in (64, 128)
+        and T >= FLASH_MIN_T_TRAIN
     )
     if mask is None and not flash_causal:
         mask = jnp.broadcast_to(causal_mask(T, T), (B, 1, T, T))

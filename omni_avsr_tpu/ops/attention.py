@@ -15,12 +15,19 @@ Replaces on the reference side:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+# Minimum sequence length at which the trainable flash kernel replaces XLA
+# attention in the encoder/LLM training paths. Tuned on the real v5e chip
+# via benchmarks/attention_sweep.py + benchmarks/train_step.py; overridable
+# for experiments (the benchmarks sweep it).
+FLASH_MIN_T_TRAIN = int(os.environ.get("OMNI_FLASH_MIN_T", "256"))
 
 
 def on_tpu() -> bool:

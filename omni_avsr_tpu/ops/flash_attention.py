@@ -27,9 +27,37 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _keep_mask(seed, h, q_start, k_start, block_q, block_k, seq_k, rate):
+    """Tiling-independent attention-probs dropout mask.
+
+    A murmur-style integer hash of the absolute (query, key) position (plus
+    the flattened batch*head index and a per-call seed) decides each element,
+    so the forward and the two backward kernels reproduce the IDENTICAL mask
+    even though they clamp block shapes differently. This replaces torch's
+    `F.dropout(attn_weights)` (reference fairseq multihead_attention) without
+    ever materialising the (T x S) mask in HBM.
+    """
+    q_idx = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    k_idx = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    x = q_idx * jnp.int32(seq_k) + k_idx
+    x = x + h * jnp.int32(-1640531527)  # 0x9E3779B9 (golden-ratio odd const)
+    x = x ^ seed
+    # murmur3 finalizer: full avalanche over int32 (wrapping multiply is
+    # defined two's-complement in XLA)
+    x = x * jnp.int32(-2048144789)  # 0x85EBCA6B
+    x = x ^ jax.lax.shift_right_logical(x, 13)
+    x = x * jnp.int32(-1028477387)  # 0xC2B2AE35
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    # x is uniform over the full signed range; drop iff x < threshold where
+    # P(x < t) == rate  =>  t = rate * 2^32 - 2^31
+    thresh = int(round(rate * 2**32 - 2**31))
+    thresh = max(-(2**31), min(2**31 - 1, thresh))
+    return x >= jnp.int32(thresh)
+
+
 def _kernel(
-    # scalar prefetch
-    lens_ref,  # (B,) int32 or (1,) dummy
+    # scalar prefetch: [0] dropout seed, [1:] per-batch kv lengths
+    lens_ref,  # (1+B,) int32 or (1,) dummy
     # blocks
     q_ref,  # (1, BQ, D)
     k_ref,  # (1, BK, D)
@@ -48,8 +76,10 @@ def _kernel(
     block_q: int,
     block_k: int,
     seq_k: int,
+    dropout_rate: float = 0.0,
 ):
-    iq = pl.program_id(1)
+    hq = pl.program_id(0)  # read outside pl.when: interpret mode can't
+    iq = pl.program_id(1)  # lower program_id inside a traced cond
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -62,7 +92,7 @@ def _kernel(
     q_start = iq * block_q
     k_start = ik * block_k
     if use_lens:
-        kv_len = lens_ref[pl.program_id(0) // num_heads]
+        kv_len = lens_ref[1 + hq // num_heads]
 
     # causal: whole block strictly above the diagonal -> skip
     run = True
@@ -90,9 +120,18 @@ def _kernel(
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m_prev - m_new)
+        # l accumulates the TRUE softmax denominator (pre-dropout); dropout
+        # only zeroes rows of the p @ v accumulation, matching
+        # out = dropout(softmax(s)) @ v exactly.
         l_scr[:] = l_scr[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(lens_ref[0], hq, q_start, k_start,
+                              block_q, block_k, seq_k, dropout_rate)
+            p_v = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_rate))
+        else:
+            p_v = p
         acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            p_v.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_scr[:] = m_new
@@ -120,6 +159,8 @@ def flash_attention(
     block_k: int = 1024,
     interpret: bool = False,
     return_lse: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,  # int32 scalar
 ) -> jax.Array:
     """Flash attention forward. For arbitrary dense masks fall back to
     ops.attention.dot_product_attention.
@@ -128,6 +169,8 @@ def flash_attention(
     bq512/bk1024+ beats XLA's fused attention by ~1.4-1.6x; small 128x128
     tiles LOSE to XLA (0.75x) — tile size is the whole game here."""
     assert mask is None, "pallas kernel supports causal/length masks only"
+    assert dropout_rate == 0.0 or dropout_seed is not None, (
+        "dropout_rate > 0 requires an int32 dropout_seed")
     B, T, Hq, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     G = Hq // Hkv
@@ -153,7 +196,11 @@ def flash_attention(
     kf = k.transpose(0, 2, 1, 3).reshape(B * Hkv, Sp, D)
     vf = v.transpose(0, 2, 1, 3).reshape(B * Hkv, Sp, D)
 
-    lens = kv_lengths.astype(jnp.int32) if kv_lengths is not None else jnp.zeros((1,), jnp.int32)
+    seed = (jnp.asarray(dropout_seed, jnp.int32).reshape(1)
+            if dropout_seed is not None else jnp.zeros((1,), jnp.int32))
+    lens = (kv_lengths.astype(jnp.int32) if kv_lengths is not None
+            else jnp.zeros((0,), jnp.int32))
+    scalars = jnp.concatenate([seed, lens])
 
     grid = (B * Hq, Tp // block_q, Sp // block_k)
     kern = functools.partial(
@@ -161,6 +208,7 @@ def flash_attention(
         scale=float(scale), causal=causal,
         use_lens=kv_lengths is not None,
         num_heads=Hq, block_q=block_q, block_k=block_k, seq_k=S,
+        dropout_rate=float(dropout_rate),
     )
     out, lse = pl.pallas_call(
         kern,
@@ -198,7 +246,7 @@ def flash_attention(
             jax.ShapeDtypeStruct((B * Hq, 1, Tp), jnp.float32),
         ),
         interpret=interpret,
-    )(lens, qf, kf, vf)
+    )(scalars, qf, kf, vf)
 
     out = out.reshape(B, Hq, Tp, D).transpose(0, 2, 1, 3)[:, :T]
     if return_lse:

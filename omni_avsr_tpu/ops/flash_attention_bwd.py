@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .flash_attention import NEG_INF, _round_up, flash_attention
+from .flash_attention import NEG_INF, _keep_mask, _round_up, flash_attention
 
 
 def _mask(q_start, k_start, block_q, block_k, seq_k, causal, kv_len):
@@ -44,14 +44,16 @@ def _mask(q_start, k_start, block_q, block_k, seq_k, causal, kv_len):
 def _dq_kernel(
     lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref, dq_ref, acc_scr,
     *, scale, causal, use_lens, num_heads, block_q, block_k, seq_k,
+    dropout_rate=0.0,
 ):
+    hq = pl.program_id(0)  # read outside pl.when (interpret-mode cond limit)
     iq, ik, nk = pl.program_id(1), pl.program_id(2), pl.num_programs(2)
 
     @pl.when(ik == 0)
     def _init():
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    kv_len = lens_ref[pl.program_id(0) // num_heads] if use_lens else None
+    kv_len = lens_ref[1 + hq // num_heads] if use_lens else None
     q_start, k_start = iq * block_q, ik * block_k
 
     run = (k_start <= q_start + block_q - 1) if causal else True
@@ -66,6 +68,13 @@ def _dq_kernel(
         p = jnp.where(m, jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)
         dp = jax.lax.dot_general(do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            # dL/dp = (do v^T) * keep / (1-rate); dsum already equals
+            # rowsum(p_dropped * do v^T) == rowsum(do * o), so only dp
+            # needs the mask (see _keep_mask in flash_attention.py).
+            keep = _keep_mask(lens_ref[0], hq, q_start, k_start,
+                              block_q, block_k, seq_k, dropout_rate)
+            dp = jnp.where(keep, dp, 0.0) * (1.0 / (1.0 - dropout_rate))
         ds = p * (dp - dsum_ref[0, 0][:, None]) * scale
         acc_scr[:] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -81,7 +90,9 @@ def _dkv_kernel(
     lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dsum_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
     *, scale, causal, use_lens, num_heads, block_q, block_k, seq_k,
+    dropout_rate=0.0,
 ):
+    hq = pl.program_id(0)  # read outside pl.when (interpret-mode cond limit)
     ik, iq, nq = pl.program_id(1), pl.program_id(2), pl.num_programs(2)
 
     @pl.when(iq == 0)
@@ -89,7 +100,7 @@ def _dkv_kernel(
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    kv_len = lens_ref[pl.program_id(0) // num_heads] if use_lens else None
+    kv_len = lens_ref[1 + hq // num_heads] if use_lens else None
     q_start, k_start = iq * block_q, ik * block_k
 
     run = (k_start <= q_start + block_q - 1) if causal else True
@@ -103,12 +114,21 @@ def _dkv_kernel(
                                 preferred_element_type=jnp.float32) * scale
         m = _mask(q_start, k_start, block_q, block_k, seq_k, causal, kv_len)
         p = jnp.where(m, jnp.exp(s - lse_ref[0, 0][:, None]), 0.0)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(lens_ref[0], hq, q_start, k_start,
+                              block_q, block_k, seq_k, dropout_rate)
+            inv = 1.0 / (1.0 - dropout_rate)
+            p_d = jnp.where(keep, p, 0.0) * inv  # dropped probs (fwd's p_v)
+        else:
+            p_d = p
         dv_scr[:] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            p_d.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            dp = jnp.where(keep, dp, 0.0) * inv
         ds = p * (dp - dsum_ref[0, 0][:, None]) * scale
         dk_scr[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -129,6 +149,8 @@ def _flash_bwd(
     block_q: int,
     block_k: int,
     interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
 ):
     B, T, Hq, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
@@ -149,13 +171,18 @@ def _flash_bwd(
     lsef = jnp.pad(lse, ((0, 0), (0, Tp - T)), constant_values=1.0)[:, None]
     dsum = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1)[:, None]  # (BH, 1, Tp)
 
-    lens = kv_lengths.astype(jnp.int32) if kv_lengths is not None else jnp.zeros((1,), jnp.int32)
+    seed = (jnp.asarray(dropout_seed, jnp.int32).reshape(1)
+            if dropout_seed is not None else jnp.zeros((1,), jnp.int32))
+    lens = (kv_lengths.astype(jnp.int32) if kv_lengths is not None
+            else jnp.zeros((0,), jnp.int32))
+    scalars = jnp.concatenate([seed, lens])
     kv_map = lambda h, a, b, lens, _G=G, _Hq=Hq, _Hkv=Hkv: (
         (h // _Hq) * _Hkv + (h % _Hq) // _G)
 
     common = dict(
         scale=float(scale), causal=causal, use_lens=kv_lengths is not None,
         num_heads=Hq, block_q=block_q, block_k=block_k, seq_k=S,
+        dropout_rate=float(dropout_rate),
     )
 
     dq = pl.pallas_call(
@@ -176,7 +203,7 @@ def _flash_bwd(
         ),
         out_shape=jax.ShapeDtypeStruct((B * Hq, Tp, D), q.dtype),
         interpret=interpret,
-    )(lens, qf, kf, vf, dof, lsef, dsum)
+    )(scalars, qf, kf, vf, dof, lsef, dsum)
 
     dk_ph, dv_ph = pl.pallas_call(
         functools.partial(_dkv_kernel, **common),
@@ -205,7 +232,7 @@ def _flash_bwd(
             jax.ShapeDtypeStruct((B * Hq, Sp, D), v.dtype),
         ),
         interpret=interpret,
-    )(lens, qf, kf, vf, dof, lsef, dsum)
+    )(scalars, qf, kf, vf, dof, lsef, dsum)
 
     dq = dq.reshape(B, Hq, Tp, D).transpose(0, 2, 1, 3)[:, :T]
     # per-q-head dk/dv -> group-sum onto kv heads
@@ -216,30 +243,33 @@ def _flash_bwd(
 
 @functools.lru_cache(maxsize=16)
 def _make_trainable(causal: bool, use_lens: bool, block_q: int, block_k: int,
-                    interpret: bool):
+                    interpret: bool, dropout_rate: float):
     @jax.custom_vjp
-    def fn(q, k, v, lens):
+    def fn(q, k, v, lens, seed):
         return flash_attention(
             q, k, v, causal=causal, kv_lengths=lens if use_lens else None,
             block_q=block_q, block_k=block_k, interpret=interpret,
+            dropout_rate=dropout_rate, dropout_seed=seed,
         )
 
-    def fwd(q, k, v, lens):
+    def fwd(q, k, v, lens, seed):
         o, lse = flash_attention(
             q, k, v, causal=causal, kv_lengths=lens if use_lens else None,
             block_q=block_q, block_k=block_k, interpret=interpret,
             return_lse=True,
+            dropout_rate=dropout_rate, dropout_seed=seed,
         )
-        return o, (q, k, v, o, lse, lens)
+        return o, (q, k, v, o, lse, lens, seed)
 
     def bwd(res, do):
-        q, k, v, o, lse, lens = res
+        q, k, v, o, lse, lens, seed = res
         D = q.shape[-1]
         dq, dk, dv = _flash_bwd(
             q, k, v, o, do, lse, causal,
             lens if use_lens else None, D ** -0.5, block_q, block_k, interpret,
+            dropout_rate=dropout_rate, dropout_seed=seed,
         )
-        return dq, dk, dv, None
+        return dq, dk, dv, None, None
 
     fn.defvjp(fwd, bwd)
     return fn
@@ -254,8 +284,21 @@ def flash_attention_trainable(
     block_q: int = 512,
     block_k: int = 1024,
     interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,  # int32 scalar, required if rate>0
 ) -> jax.Array:
-    """Flash attention with a Pallas backward — safe under jax.grad."""
-    fn = _make_trainable(causal, kv_lengths is not None, block_q, block_k, interpret)
+    """Flash attention with a Pallas backward — safe under jax.grad.
+
+    `dropout_rate`/`dropout_seed` apply torch-semantics attention-probs
+    dropout INSIDE the kernels (position-hash mask, identical in fwd and
+    both bwd kernels), so training configs with attention dropout active
+    (fairseq `multihead_attention.py:389-494` keeps it on in train mode)
+    no longer fall back to XLA attention."""
+    assert dropout_rate == 0.0 or dropout_seed is not None, (
+        "dropout_rate > 0 requires an int32 dropout_seed")
+    fn = _make_trainable(causal, kv_lengths is not None, block_q, block_k,
+                         interpret, float(dropout_rate))
     lens = kv_lengths if kv_lengths is not None else jnp.zeros((1,), jnp.int32)
-    return fn(q, k, v, lens)
+    seed = (jnp.asarray(dropout_seed, jnp.int32).reshape(())
+            if dropout_seed is not None else jnp.zeros((), jnp.int32))
+    return fn(q, k, v, lens, seed)

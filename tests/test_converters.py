@@ -134,12 +134,15 @@ def _reference_state_dict(cfg: OmniConfig):
     sd["video_encoder.encoder.layer_norm.weight"] = torch.ones(D)
     sd["video_encoder.encoder.layer_norm.bias"] = torch.zeros(D)
 
-    # --- projectors: per-rate ModuleList WITHOUT LN (the avg-pool quirk)
+    # --- projectors: per-rate ModuleList WITHOUT LN (the avg-pool quirk);
+    # stack mode widens fc1's input to enc_dim * rate (`modeling:75-77,160`)
     l = cfg.llm
+    stack = cfg.compression_mode == "stack"
     for name, rates, enc_dim in (("audio_proj", cfg.audio_rates, w.hidden_size),
                                  ("video_proj", cfg.video_rates, D)):
-        for i, _ in enumerate(rates):
-            sd[f"{name}.{i}.0.weight"] = torch.randn(cfg.projector_intermediate_size, enc_dim) * 0.05
+        for i, rate in enumerate(rates):
+            in_dim = enc_dim * rate if stack else enc_dim
+            sd[f"{name}.{i}.0.weight"] = torch.randn(cfg.projector_intermediate_size, in_dim) * 0.05
             sd[f"{name}.{i}.0.bias"] = torch.zeros(cfg.projector_intermediate_size)
             sd[f"{name}.{i}.2.weight"] = torch.randn(l.hidden_size, cfg.projector_intermediate_size) * 0.05
             sd[f"{name}.{i}.2.bias"] = torch.zeros(l.hidden_size)
@@ -162,6 +165,11 @@ def _reference_state_dict(cfg: OmniConfig):
             sd[f"{p}.self_attn.lora_up_Q.{m}.weight"] = torch.randn(h, r) * 0.01
             sd[f"{p}.self_attn.lora_down_V.{m}.weight"] = torch.randn(r, h) * 0.01
             sd[f"{p}.self_attn.lora_up_V.{m}.weight"] = torch.randn(v_out, r) * 0.01
+        if l.lora.shared:  # hybrid: shared adapters alongside task dicts
+            sd[f"{p}.self_attn.lora_down_Q_shared.weight"] = torch.randn(r, h) * 0.01
+            sd[f"{p}.self_attn.lora_up_Q_shared.weight"] = torch.randn(h, r) * 0.01
+            sd[f"{p}.self_attn.lora_down_V_shared.weight"] = torch.randn(r, h) * 0.01
+            sd[f"{p}.self_attn.lora_up_V_shared.weight"] = torch.randn(v_out, r) * 0.01
         sd[f"{p}.mlp.gate_proj.weight"] = torch.randn(l.intermediate_size, h) * 0.05
         sd[f"{p}.mlp.up_proj.weight"] = torch.randn(l.intermediate_size, h) * 0.05
         sd[f"{p}.mlp.down_proj.weight"] = torch.randn(h, l.intermediate_size) * 0.05

@@ -36,6 +36,26 @@ def test_train_llama_avsr_audio_synthetic(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_omni_qwen_synthetic(tmp_path):
+    """Qwen end-to-end through the driver (VERDICT r1 item 10): the synthetic
+    tiny model switches to the qwen family (qkv bias, no BOS, tied embeddings)
+    — exercises train + val + the auto-test decode grid with Qwen semantics
+    (`Omni_AVSR/Qwen_LoRA.py:464-473`)."""
+    from omni_avsr_tpu.cli.train_omni import main
+
+    exp = str(tmp_path / "omni_qwen")
+    main([
+        "--synthetic", "3", "--max-epochs", "1", "--exp-dir", exp,
+        "--llm-model", "Qwen/Qwen2.5-0.5B",
+        "--num-beams", "2", "--max-dec-tokens", "4",
+        "--downsample-ratio-audio", "4", "--downsample-ratio-video", "2",
+    ])
+    assert os.path.exists(os.path.join(exp, "omni", "metrics.jsonl"))
+    ckpts = os.listdir(os.path.join(exp, "omni", "checkpoints"))
+    assert any(c.startswith("step_") for c in ckpts)
+
+
+@pytest.mark.slow
 def test_eval_omni_synthetic(tmp_path):
     from omni_avsr_tpu.cli.eval_omni import main
 
