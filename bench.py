@@ -41,6 +41,11 @@ def main():
 
         merged = quantize_decode_params(merged)
 
+    # BENCH_BEAMS=15 measures the WER-parity decode configuration
+    # (`modeling_OmniAVSR.py:312-322`: beams 15, 32 new tokens); default is
+    # the greedy north-star metric.
+    beams = int(os.environ.get("BENCH_BEAMS", "1"))
+
     frames = 160  # 6.4 s clip @ 25 fps
     secs = frames / 25.0
     batch = _batch(model, B=1, frames=frames, token_len=8)
@@ -50,7 +55,7 @@ def main():
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
     dev_batch["audio_trim_len"] = 325  # whisper_token_len(6.4 s) -> 320, bucket 325
 
-    decode_fn = engine._decode_fn("audiovisual", 4, 2, 325, 1,
+    decode_fn = engine._decode_fn("audiovisual", 4, 2, 325, beams,
                                   model.cfg.max_dec_tokens)
     arrays = {k: v for k, v in dev_batch.items()
               if k not in ("gold_text", "audio_trim_len")}
@@ -78,7 +83,7 @@ def main():
     rtf = secs * n_iters / dt
 
     print(json.dumps({
-        "metric": "avsr_e2e_decode_rtf",
+        "metric": "avsr_e2e_decode_rtf" + (f"_beam{beams}" if beams > 1 else ""),
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / 20.0, 3),

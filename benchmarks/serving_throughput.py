@@ -30,6 +30,10 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 160  # 6.4 s
     use_int8 = len(sys.argv) > 3 and sys.argv[3] == "int8"
+    import os
+
+    # BEAMS=15 measures the WER-parity decode config (beam 15, 32 tokens)
+    beams = int(os.environ.get("BEAMS", "1"))
 
     model = _flagship(tiny=False)
     params = model.init_params(jax.random.PRNGKey(0))
@@ -49,7 +53,7 @@ def main():
 
     from omni_avsr_tpu.utils.profiling import chain_iteration
 
-    decode_fn = engine._decode_fn("audiovisual", 4, 2, trim_bucket, 1,
+    decode_fn = engine._decode_fn("audiovisual", 4, 2, trim_bucket, beams,
                                   model.cfg.max_dec_tokens)
     arrays = {k: v for k, v in batch.items()
               if k not in ("gold_text", "audio_trim_len")}
@@ -70,10 +74,10 @@ def main():
     dt = time.perf_counter() - t0
     secs = B * frames / 25.0
     print(json.dumps({
-        "metric": "serving_audio_seconds_per_s",
+        "metric": "serving_audio_seconds_per_s" + (f"_beam{beams}" if beams > 1 else ""),
         "value": round(secs * n / dt, 1),
         "utterances_per_s": round(B * n / dt, 2),
-        "batch": B, "frames": frames, "int8": use_int8,
+        "batch": B, "frames": frames, "int8": use_int8, "beams": beams,
     }))
 
 
