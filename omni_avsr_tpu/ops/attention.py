@@ -25,8 +25,11 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 # Minimum sequence length at which the trainable flash kernel replaces XLA
 # attention in the encoder/LLM training paths. Tuned on the real v5e chip
-# via benchmarks/attention_sweep.py + benchmarks/train_step.py; overridable
-# for experiments (the benchmarks sweep it).
+# (full flagship train step, benchmarks/train_step.py): at frames=320
+# (T_enc=320, T_llm~300) the kernel + in-kernel dropout beats XLA-with-
+# dropout 212.4 vs 220.1 ms/step; at frames=128 XLA wins slightly (132.9 vs
+# 135.2 ms), so the gate stays at 256. Overridable for experiments
+# (benchmarks/attention_sweep.py sweeps it).
 FLASH_MIN_T_TRAIN = int(os.environ.get("OMNI_FLASH_MIN_T", "256"))
 
 
