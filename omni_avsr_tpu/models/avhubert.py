@@ -200,8 +200,10 @@ def avhubert_encoder(
             y = jnp.where(u > cfg.layerdrop, y, h)  # stochastic layer skip
         return y, None
 
+    from .llm import _remat_policy
+
     x, _ = jax.lax.scan(
-        jax.checkpoint(body, prevent_cse=False),
+        jax.checkpoint(body, prevent_cse=False, policy=_remat_policy()),
         x,
         (params["layers"], layer_keys, drop_u),
     )

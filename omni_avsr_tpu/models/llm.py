@@ -278,9 +278,27 @@ def llm_backbone(
         return y, None
 
     if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+        body = jax.checkpoint(body, prevent_cse=False,
+                              policy=_remat_policy())
     x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
     return x
+
+
+def _remat_policy():
+    """Rematerialisation policy for the per-layer checkpoint.
+
+    Default saves MXU outputs (matmul results) and recomputes only the cheap
+    elementwise/softmax work in the backward — at AVSR sequence lengths the
+    activations are small (B4 x T<=640) so HBM easily holds them, and this
+    avoids re-running every matmul. OMNI_REMAT=full restores classic
+    everything-recomputed remat (lowest memory) for long-sequence or
+    memory-tight runs."""
+    import os
+
+    mode = os.environ.get("OMNI_REMAT", "dots")
+    if mode == "full":
+        return None
+    return jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
 
 
 def llm_logits(
