@@ -88,6 +88,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="this process's rank (SLURM_PROCID if unset)")
     p.add_argument("--mesh-tp", type=int, default=1,
                    help="tensor-parallel mesh axis size (devices split dp x tp)")
+    p.add_argument("--fsdp", type=str2bool, default=False,
+                   help="additionally shard LLM matrices over the dp axis "
+                        "(ZeRO-3 / the reference's commented FSDPStrategy)")
     # offline smoke mode
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate N synthetic train clips and run offline with a tiny model")
@@ -243,7 +246,8 @@ def setup_parallelism(args, params):
     keeps rows [p*k, (p+1)*k)) and assembles global dp-sharded arrays via
     `jax.make_array_from_process_local_data`. LLM params are sharded over
     tp in place."""
-    use_mesh = jax.process_count() > 1 or getattr(args, "mesh_tp", 1) > 1
+    use_mesh = (jax.process_count() > 1 or getattr(args, "mesh_tp", 1) > 1
+                or getattr(args, "fsdp", False))
     if not use_mesh:
         return None, (lambda b: b)
 
@@ -258,8 +262,9 @@ def setup_parallelism(args, params):
     tp = args.mesh_tp
     assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
     mesh = make_mesh(MeshConfig(dp=n // tp, tp=tp))
-    params["llm"] = shard_params(mesh, params["llm"],
-                                 llm_partition_specs(params["llm"]))
+    params["llm"] = shard_params(
+        mesh, params["llm"],
+        llm_partition_specs(params["llm"], fsdp=getattr(args, "fsdp", False)))
 
     P_ = jax.process_count()
 

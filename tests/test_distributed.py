@@ -56,7 +56,7 @@ def test_setup_parallelism_tp_mesh_and_feed():
                     num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
                     lora=LoRAConfig(rank_divisor=8, v_out_divisor=2))
     params = {"llm": init_llm(jax.random.PRNGKey(0), cfg)}
-    args = argparse.Namespace(mesh_tp=2)
+    args = argparse.Namespace(mesh_tp=2, fsdp=False)
     mesh, feed = setup_parallelism(args, params)
     assert mesh is not None and dict(mesh.shape) == {"dp": 4, "tp": 2}
     # q out-features sharded over tp
@@ -70,12 +70,31 @@ def test_setup_parallelism_tp_mesh_and_feed():
     assert isinstance(out["audio"], jax.Array) and out["audio"].shape == (8, 100)
 
 
+def test_setup_parallelism_fsdp():
+    """--fsdp shards LLM matrices over dp on top of tp (ZeRO-3 style)."""
+    import argparse
+
+    from omni_avsr_tpu.cli.common import setup_parallelism
+    from omni_avsr_tpu.config import LLMConfig, LoRAConfig
+    from omni_avsr_tpu.models.llm import init_llm
+
+    cfg = LLMConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                    num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                    lora=LoRAConfig(rank_divisor=8, v_out_divisor=2))
+    params = {"llm": init_llm(jax.random.PRNGKey(0), cfg)}
+    args = argparse.Namespace(mesh_tp=2, fsdp=True)
+    mesh, _ = setup_parallelism(args, params)
+    assert mesh is not None
+    spec = str(params["llm"]["layers"]["attn"]["q"]["w"].sharding.spec)
+    assert "dp" in spec and "tp" in spec
+
+
 def test_setup_parallelism_identity_when_single():
     import argparse
 
     from omni_avsr_tpu.cli.common import setup_parallelism
 
-    args = argparse.Namespace(mesh_tp=1)
+    args = argparse.Namespace(mesh_tp=1, fsdp=False)
     mesh, feed = setup_parallelism(args, {})
     assert mesh is None
     sentinel = {"x": 1}
