@@ -124,9 +124,8 @@ class BPEEncoder:
         return [self.index.get(p, self.unk) for p in self.encode_pieces(text)]
 
     def decode(self, ids: Sequence[int]) -> str:
-        toks = [self.symbols[i] for i in ids
-                if 0 <= i < len(self.symbols) and i > self.unk or i == self.unk]
-        s = "".join(t if t != "<unk>" else "⁇" for t in toks)
+        keep = [i for i in ids if self.unk <= i < len(self.symbols)]
+        s = "".join("⁇" if i == self.unk else self.symbols[i] for i in keep)
         return s.replace(WORD_MARK, " ").strip()
 
     def save(self, prefix: str) -> None:

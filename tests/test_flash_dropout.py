@@ -88,6 +88,44 @@ def test_dropout_grads_match_masked_reference():
     np.testing.assert_allclose(np.asarray(fv), np.asarray(rv), atol=2e-3, rtol=1e-3)
 
 
+def test_dropout_grads_gqa():
+    """GQA (Hq=4, Hkv=2): the hash is keyed on the flattened *query* head
+    index in fwd, dq, AND dkv kernels — grads must match an explicit-mask
+    reference that expands kv heads."""
+    B, T, Hq, Hkv, D = 1, 128, 4, 2, 64
+    rate, seed = 0.3, 13
+    q = _rand((B, T, Hq, D), 20)
+    k = _rand((B, T, Hkv, D), 21)
+    v = _rand((B, T, Hkv, D), 22)
+    keep = _full_keep(seed, B * Hq, T, T, rate).reshape(B, Hq, T, T)
+
+    def ref(q, k, v):
+        G = Hq // Hkv
+        kx = jnp.repeat(k, G, axis=2)
+        vx = jnp.repeat(v, G, axis=2)
+        s = jnp.einsum("bthd,bshd->bhts", q, kx) * (D ** -0.5)
+        p = jax.nn.softmax(s, axis=-1)
+        p = jnp.where(keep, p, 0.0) / (1.0 - rate)
+        return jnp.einsum("bhts,bshd->bthd", p, vx)
+
+    fl = lambda q, k, v: flash_attention_trainable(
+        q, k, v, block_q=128, block_k=128, interpret=True,
+        dropout_rate=rate, dropout_seed=jnp.int32(seed))
+
+    def grads(fn):
+        def loss(q, k, v):
+            out = fn(q, k, v)
+            w = jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape) * 1e-3
+            return jnp.sum(out.astype(jnp.float32) * w)
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    rq, rk, rv = grads(ref)
+    fq, fk, fv = grads(fl)
+    np.testing.assert_allclose(np.asarray(fq), np.asarray(rq), atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(fk), np.asarray(rk), atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(fv), np.asarray(rv), atol=2e-3, rtol=1e-3)
+
+
 def test_dropout_mask_is_tiling_independent():
     B, T, H, D = 1, 256, 2, 64
     q, k, v = _rand((B, T, H, D), 6), _rand((B, T, H, D), 7), _rand((B, T, H, D), 8)
