@@ -33,6 +33,14 @@ def main():
     import os
 
     model = _flagship(tiny=False)
+    if os.environ.get("BENCH_WHISPER") == "bucket":
+        import dataclasses
+
+        from omni_avsr_tpu.models.omni import OmniAVSR
+
+        model = OmniAVSR(
+            dataclasses.replace(model.cfg, whisper_input_mode="bucket"),
+            model.tok)
     params = model.init_params(jax.random.PRNGKey(0))
     engine = OmniEngine(model, params, TrainConfig(), 1.0, noise_bank=None, seed=0)
     merged = engine.merged_params()

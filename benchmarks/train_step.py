@@ -27,6 +27,15 @@ def main():
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 128  # ~5.1 s clips
 
     model = _flagship(tiny=False)
+    import dataclasses
+    import os
+
+    if os.environ.get("OMNI_WHISPER_INPUT") == "bucket":
+        from omni_avsr_tpu.models.omni import OmniAVSR
+
+        model = OmniAVSR(dataclasses.replace(model.cfg,
+                                             whisper_input_mode="bucket"),
+                         model.tok)
     params = model.init_params(jax.random.PRNGKey(0))
     engine = OmniEngine(model, params, TrainConfig(lr=1e-3), 1000,
                         noise_bank=synth_babble(seconds=10.0), seed=0)

@@ -269,6 +269,14 @@ class OmniConfig:
 
     modality: Modality = "audiovisual"
     compression_mode: str = "avg-pooling"  # or "stack"
+    # "pad30s" = reference-exact (HF WhisperFeatureExtractor pads every clip
+    # to 30 s and the encoder attends over the padding silence,
+    # `modeling_OmniAVSR.py:528-537`). "bucket" computes only the batch's
+    # bucketed audio window — ~6x less whisper compute on typical LRS3 clips,
+    # NOT bit-equal to reference checkpoints' training distribution (the
+    # attention span shrinks), so it is opt-in: right for from-scratch
+    # training, measure WER before using it with converted weights.
+    whisper_input_mode: str = "pad30s"  # or "bucket"
     # matryoshka rates; scalars collapse to 1-tuples for the non-matry case
     downsample_ratio_audio: Tuple[int, ...] = (4, 16)
     downsample_ratio_video: Tuple[int, ...] = (2, 5)

@@ -115,7 +115,13 @@ class OmniAVSR:
         trim_len: int,  # static: max(int(max_samples/16000*50), 25)
     ) -> jax.Array:
         """(B, trim_len//rate, d_llm) projected audio tokens."""
-        mel = log_mel_spectrogram(audio, audio_len)
+        if self.cfg.whisper_input_mode == "bucket":
+            # compute only the bucket's window: trim_len tokens = 2*trim_len
+            # mel frames (conv stride 2); kept mel frames are bit-identical
+            # to the 30 s computation, only the attention span shrinks
+            mel = log_mel_spectrogram(audio, audio_len, num_frames=2 * trim_len)
+        else:  # reference-exact 30 s padded window
+            mel = log_mel_spectrogram(audio, audio_len)
         enc = whisper_encode(params["whisper"], self.cfg.whisper, mel.astype(jnp.bfloat16))
         enc = enc[:, :trim_len]
         enc = compress(enc, rate, self.cfg.compression_mode)

@@ -102,26 +102,33 @@ def _dft_matrices(n: int = N_FFT) -> Tuple[np.ndarray, np.ndarray]:
 def log_mel_spectrogram(
     audio: jax.Array,  # (B, S) f32 waveform at 16 kHz
     audio_lengths: Optional[jax.Array] = None,  # (B,) valid samples, for zeroing pad
+    num_frames: int = NUM_FRAMES,  # static: mel frames to produce
 ) -> jax.Array:
-    """Whisper log-mel features, (B, NUM_FRAMES, N_MELS) f32.
+    """Whisper log-mel features, (B, num_frames, N_MELS) f32.
 
-    `audio` may be shorter or longer than 30 s; it is zero-padded / truncated
-    to exactly 30 s first (WhisperFeatureExtractor pad-to-max semantics).
+    Default `num_frames=3000` reproduces WhisperFeatureExtractor's pad-to-30s
+    semantics exactly. A smaller STATIC `num_frames` (must cover the longest
+    audio in the bucket) computes only that window — the kept frames are
+    bit-identical to the 30 s computation (framing is local; the per-sample
+    dynamic-range max comes from speech frames, not padding silence), it is
+    only the downstream encoder's attention span that shrinks. Used by the
+    opt-in `whisper_input_mode="bucket"` fast path (models/omni.py).
     """
     B, S = audio.shape
+    chunk = num_frames * HOP
     audio = audio.astype(jnp.float32)
     if audio_lengths is not None:
         audio = jnp.where(jnp.arange(S)[None, :] < audio_lengths[:, None], audio, 0.0)
-    if S < CHUNK_SAMPLES:
-        audio = jnp.pad(audio, ((0, 0), (0, CHUNK_SAMPLES - S)))
+    if S < chunk:
+        audio = jnp.pad(audio, ((0, 0), (0, chunk - S)))
     else:
-        audio = audio[:, :CHUNK_SAMPLES]
+        audio = audio[:, :chunk]
 
     # centered STFT: reflect-pad n_fft//2 both sides
     pad = N_FFT // 2
     x = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
     # frame: (B, 1 + S/hop, n_fft) -> whisper drops the last frame
-    n_frames_full = NUM_FRAMES + 1
+    n_frames_full = num_frames + 1
     idx = jnp.arange(n_frames_full)[:, None] * HOP + jnp.arange(N_FFT)[None, :]
     frames = x[:, idx]  # (B, F+1, n_fft)
     window = jnp.asarray(_hann_window())

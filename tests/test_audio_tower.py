@@ -88,3 +88,50 @@ def test_whisper_encode_shapes():
     mel = jnp.zeros((1, 3000, 80), jnp.float32)
     out = whisper_encode(params, cfg, mel)
     assert out.shape == (1, 1500, 64)
+
+
+def test_log_mel_bucketed_window_bit_equal():
+    """num_frames < 3000 must reproduce the SAME kept mel frames as the
+    reference-exact 30 s computation (framing is local; the dynamic-range
+    max comes from speech, not padding silence) — the guarantee behind
+    whisper_input_mode='bucket' (config.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from omni_avsr_tpu.ops.audio_frontend import log_mel_spectrogram
+
+    rng = np.random.RandomState(0)
+    S = 4 * 16000  # 4 s of audio
+    audio = jnp.asarray(rng.randn(2, S).astype(np.float32) * 0.1)
+    lens = jnp.array([S, S - 5000], jnp.int32)
+
+    full = log_mel_spectrogram(audio, lens)             # (B, 3000, 80)
+    short = log_mel_spectrogram(audio, lens, num_frames=500)  # 5 s window
+    np.testing.assert_allclose(np.asarray(short), np.asarray(full[:, :500]),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_whisper_bucket_input_mode_runs():
+    """encode_audio with whisper_input_mode='bucket' produces the same
+    token count and finite values (numerics differ from pad30s only via the
+    encoder's attention span)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.test_omni import tiny_omni
+
+    model = tiny_omni()
+    model_b = type(model)(dataclasses.replace(model.cfg, whisper_input_mode="bucket"),
+                          model.tok)
+    params = model.init_params(jax.random.PRNGKey(0), frozen_dtype=jnp.float32)
+    rng = np.random.RandomState(1)
+    audio = jnp.asarray(rng.randn(2, 50 * 320).astype(np.float32) * 0.1)
+    lens = jnp.full((2,), 50 * 320, jnp.int32)
+    a = model.encode_audio(params, audio, lens, 4, 50)
+    b = model_b.encode_audio(params, audio, lens, 4, 50)
+    assert a.shape == b.shape
+    assert bool(jnp.all(jnp.isfinite(b.astype(jnp.float32))))
