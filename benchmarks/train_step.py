@@ -30,12 +30,15 @@ def main():
     import dataclasses
     import os
 
+    overrides = {}
     if os.environ.get("OMNI_WHISPER_INPUT") == "bucket":
+        overrides["whisper_input_mode"] = "bucket"
+    if os.environ.get("OMNI_FUSED") == "1":
+        overrides["fused_task_forward"] = True
+    if overrides:
         from omni_avsr_tpu.models.omni import OmniAVSR
 
-        model = OmniAVSR(dataclasses.replace(model.cfg,
-                                             whisper_input_mode="bucket"),
-                         model.tok)
+        model = OmniAVSR(dataclasses.replace(model.cfg, **overrides), model.tok)
     params = model.init_params(jax.random.PRNGKey(0))
     engine = OmniEngine(model, params, TrainConfig(lr=1e-3), 1000,
                         noise_bank=synth_babble(seconds=10.0), seed=0)

@@ -53,6 +53,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="pad30s = reference-exact 30 s whisper window; bucket "
                         "computes only the batch's audio window (~6x less "
                         "whisper compute, opt-in — see config.py)")
+    p.add_argument("--fused-task-forward", type=str2bool, default=False,
+                   help="run the 3 training tasks as ONE stacked decoder "
+                        "forward (identical losses, better MXU tiling)")
     p.add_argument("--downsample-ratio-audio", type=int, nargs="+", default=[4, 16])
     p.add_argument("--downsample-ratio-video", type=int, nargs="+", default=[2, 5])
     p.add_argument("--matry-weights", type=float, nargs=3, default=[1.0, 1.5, 1.0])
@@ -163,6 +166,7 @@ def build_model(args) -> OmniAVSR:
         llm_model=args.llm_model, llm=llm, whisper=whisper, avhubert=avhubert,
         modality=args.modality, compression_mode=args.compression_mode,
         whisper_input_mode=getattr(args, "whisper_input_mode", "pad30s"),
+        fused_task_forward=getattr(args, "fused_task_forward", False),
         downsample_ratio_audio=rates_a, downsample_ratio_video=rates_v,
         is_matryoshka=args.is_matryoshka,
         is_single_matry_projector=args.is_single_matry_projector,

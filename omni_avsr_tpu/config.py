@@ -269,6 +269,14 @@ class OmniConfig:
 
     modality: Modality = "audiovisual"
     compression_mode: str = "avg-pooling"  # or "stack"
+    # One (3B, T_max) decoder program for the 3 training tasks instead of
+    # three small ones (identical per-task losses — padding is causally
+    # inert; see models/omni.py _fused_train_losses). Measured on v5e at
+    # batch 4: LOSES to the per-task programs (131.3 vs 123.7 ms/step) —
+    # padding every task to the AV length costs ~1.5x the tokens, which
+    # outweighs the kernel-count saving. Kept as an option for configs with
+    # very small batches; default off.
+    fused_task_forward: bool = False
     # "pad30s" = reference-exact (HF WhisperFeatureExtractor pads every clip
     # to 30 s and the encoder attends over the padding silence,
     # `modeling_OmniAVSR.py:528-537`). "bucket" computes only the batch's

@@ -134,12 +134,25 @@ def _lora_delta(x: jax.Array, adapter: Params, scaling: float) -> Tuple[jax.Arra
     return dq * scaling, dv * scaling
 
 
+# Sentinel modality for the fused 3-task training forward: x rows are the
+# three tasks' batches stacked [audio | video | audiovisual], each of size
+# x.shape[0] // 3, and every block gets its own task adapter (omni.py
+# train_losses with cfg.fused_task_forward).
+FUSED3 = "__fused3__"
+
+
 def _qkv_with_lora(
     layer: Params, cfg: LLMConfig, x: jax.Array, modality: Optional[str]
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Base q/k/v projections + the Omni-LoRA q/v deltas — the single source
     of the adapter math, shared by the training/prefill path and the
-    split-cache beam decode step."""
+    split-cache beam decode step.
+
+    With modality == FUSED3 the base projections run once over the stacked
+    (3B, T, H) batch (one MXU matmul instead of three) and only the tiny
+    LoRA deltas are computed per task block."""
+    from ..config import MODALITIES
+
     attn = layer["attn"]
     q = linear(x, attn["q"])
     k = linear(x, attn["k"])
@@ -148,10 +161,21 @@ def _qkv_with_lora(
         scaling = cfg.lora.scaling
         if cfg.lora.task_specific:
             assert modality is not None, "task-specific LoRA needs a modality"
-            dq, dv = _lora_delta(x, layer["lora"][modality], scaling)
+            if modality == FUSED3:
+                B = x.shape[0] // 3
+                dqs, dvs = [], []
+                for i, m in enumerate(MODALITIES):
+                    xm = jax.lax.slice_in_dim(x, i * B, (i + 1) * B, axis=0)
+                    dqm, dvm = _lora_delta(xm, layer["lora"][m], scaling)
+                    dqs.append(dqm)
+                    dvs.append(dvm)
+                dq = jnp.concatenate(dqs, axis=0)
+                dv = jnp.concatenate(dvs, axis=0)
+            else:
+                dq, dv = _lora_delta(x, layer["lora"][modality], scaling)
             if cfg.lora.shared:
-                dqs, dvs = _lora_delta(x, layer["lora_shared"], scaling)
-                dq, dv = dq + dqs, dv + dvs
+                dqs_, dvs_ = _lora_delta(x, layer["lora_shared"], scaling)
+                dq, dv = dq + dqs_, dv + dvs_
         else:
             dq, dv = _lora_delta(x, layer["lora"], scaling)
         q = q + dq
@@ -317,17 +341,26 @@ def llm_logits(
     return lm_head(params, cfg, x)
 
 
-def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """HF CausalLM loss: shift by one, mean CE over labels != -100, in f32."""
+def causal_lm_token_stats(
+    logits: jax.Array, labels: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-ROW (sum of -logp, valid-token count) for the HF CausalLM loss —
+    lets callers form per-task means from a fused multi-task batch."""
     shift_logits = logits[:, :-1].astype(jnp.float32)
     shift_labels = labels[:, 1:]
     valid = shift_labels != IGNORE_INDEX
     safe_labels = jnp.where(valid, shift_labels, 0)
     logp = jax.nn.log_softmax(shift_logits, axis=-1)
     token_lp = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
-    total = jnp.sum(jnp.where(valid, -token_lp, 0.0))
-    count = jnp.maximum(jnp.sum(valid), 1)
-    return total / count
+    total = jnp.sum(jnp.where(valid, -token_lp, 0.0), axis=1)
+    count = jnp.sum(valid, axis=1)
+    return total, count
+
+
+def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """HF CausalLM loss: shift by one, mean CE over labels != -100, in f32."""
+    total, count = causal_lm_token_stats(logits, labels)
+    return jnp.sum(total) / jnp.maximum(jnp.sum(count), 1)
 
 
 def llm_loss(

@@ -232,13 +232,61 @@ class OmniAVSR:
             params, batch["video"], rate_video, train_mode, rng=dropout_rng
         ).astype(dtype)
 
+        task_specific = bool(cfg.llm.lora and cfg.llm.lora.task_specific)
+        if cfg.fused_task_forward:
+            return self._fused_train_losses(
+                params, a, v, text_emb, labels, task_specific, remat)
+
         losses = {}
         for i, m in enumerate(MODALITIES):
             parts = {"audio": (a,), "video": (v,), "audiovisual": (a, v)}[m]
             embeds, lab = self._assemble_task(params, m, parts, text_emb, labels)
-            lora_mod = m if (cfg.llm.lora and cfg.llm.lora.task_specific) else None
+            lora_mod = m if task_specific else None
             logits = llm_logits(params["llm"], cfg.llm, embeds, modality=lora_mod, remat=remat)
             loss = causal_lm_loss(logits, lab)
+            if cfg.matry_weights is not None:
+                loss = loss * cfg.matry_weights[i]
+            losses[m] = loss
+        return losses
+
+    def _fused_train_losses(
+        self, params, a, v, text_emb, labels, task_specific, remat
+    ) -> Dict[str, jax.Array]:
+        """One LLM forward over the three tasks stacked on the batch axis.
+
+        Each task's sequence is right-padded to the longest (the AV task);
+        under pure causal masking the padded tail can never influence valid
+        positions and its labels are IGNORE_INDEX, so per-task losses are
+        EXACTLY the unfused ones (pinned by tests/test_omni.py) — but the
+        decoder runs one (3B, T_max) program instead of three small ones,
+        which tiles far better on the MXU at AVSR batch sizes."""
+        from .llm import FUSED3, causal_lm_token_stats
+
+        cfg = self.cfg
+        B = text_emb.shape[0]
+        embeds3, labels3 = [], []
+        for m in MODALITIES:
+            parts = {"audio": (a,), "video": (v,), "audiovisual": (a, v)}[m]
+            e, lab = self._assemble_task(params, m, parts, text_emb, labels)
+            embeds3.append(e)
+            labels3.append(lab)
+        T_max = max(e.shape[1] for e in embeds3)
+        embeds3 = [jnp.pad(e, ((0, 0), (0, T_max - e.shape[1]), (0, 0)))
+                   for e in embeds3]
+        labels3 = [jnp.pad(l, ((0, 0), (0, T_max - l.shape[1])),
+                           constant_values=IGNORE_INDEX) for l in labels3]
+        stacked = jnp.concatenate(embeds3, axis=0)
+        lab3 = jnp.concatenate(labels3, axis=0)
+
+        logits = llm_logits(params["llm"], cfg.llm, stacked,
+                            modality=FUSED3 if task_specific else None,
+                            remat=remat)
+        total, count = causal_lm_token_stats(logits, lab3)
+        losses = {}
+        for i, m in enumerate(MODALITIES):
+            t = jnp.sum(jax.lax.slice_in_dim(total, i * B, (i + 1) * B))
+            c = jnp.sum(jax.lax.slice_in_dim(count, i * B, (i + 1) * B))
+            loss = t / jnp.maximum(c, 1)
             if cfg.matry_weights is not None:
                 loss = loss * cfg.matry_weights[i]
             losses[m] = loss

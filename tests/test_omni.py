@@ -185,3 +185,47 @@ def test_infer_prefix_masked_counts(model, params):
     assert n_video.tolist() == [4, 3]
     # all delimiters/prompt/bos valid
     assert v[:, 0].all() and v[:, 1].all() and v[:, -P_prompt:].all()
+
+
+def test_fused_task_forward_matches_unfused(model, params):
+    """cfg.fused_task_forward: one stacked (3B, T_max) decoder program must
+    give the SAME per-task losses as three separate forwards (padding is
+    causally inert; labels pad with IGNORE_INDEX)."""
+    import dataclasses
+
+    batch = make_batch(model)
+    ref = model.train_losses(params, batch, 4, 2, audio_trim_len=50,
+                             train_mode=False, remat=False)
+    fused_model = OmniAVSR(
+        dataclasses.replace(model.cfg, fused_task_forward=True), model.tok)
+    got = fused_model.train_losses(params, batch, 4, 2, audio_trim_len=50,
+                                   train_mode=False, remat=False)
+    for m in ref:
+        np.testing.assert_allclose(float(got[m]), float(ref[m]),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_fused_task_forward_grads_match(model, params):
+    """Gradients through the fused forward equal the unfused ones (LoRA
+    adapters of each task get exactly their own rows)."""
+    import dataclasses
+
+    batch = make_batch(model)
+    fused_model = OmniAVSR(
+        dataclasses.replace(model.cfg, fused_task_forward=True), model.tok)
+
+    def loss_fn(mdl):
+        def f(p):
+            losses = mdl.train_losses(p, batch, 4, 2, audio_trim_len=50,
+                                      train_mode=False, remat=False)
+            return (losses["audio"] + losses["video"] + losses["audiovisual"]) / 3.0
+        return f
+
+    g_ref = jax.grad(loss_fn(model))(params)
+    g_fused = jax.grad(loss_fn(fused_model))(params)
+    la = g_ref["llm"]["layers"]["lora"]
+    lb = g_fused["llm"]["layers"]["lora"]
+    for m in ("audio", "video", "audiovisual"):
+        np.testing.assert_allclose(
+            np.asarray(lb[m]["down_q"]["w"]), np.asarray(la[m]["down_q"]["w"]),
+            rtol=5e-3, atol=5e-4)
