@@ -56,6 +56,22 @@ def test_train_omni_qwen_synthetic(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_omni_bucket_whisper_synthetic(tmp_path):
+    """--whisper-input-mode bucket through the driver (the 1.64x train-step
+    fast path): train + val + decode grid must run end-to-end."""
+    from omni_avsr_tpu.cli.train_omni import main
+
+    exp = str(tmp_path / "omni_bucket")
+    main([
+        "--synthetic", "3", "--max-epochs", "1", "--exp-dir", exp,
+        "--whisper-input-mode", "bucket",
+        "--num-beams", "2", "--max-dec-tokens", "4",
+        "--downsample-ratio-audio", "4", "--downsample-ratio-video", "2",
+    ])
+    assert os.path.exists(os.path.join(exp, "omni", "metrics.jsonl"))
+
+
+@pytest.mark.slow
 def test_eval_omni_synthetic(tmp_path):
     from omni_avsr_tpu.cli.eval_omni import main
 
