@@ -129,12 +129,31 @@ def resnet3d_forward(
     B, T, H, W, C = video.shape
     x = video
 
-    # 3D stem
+    # 3D stem — space-to-depth formulation: the reference conv has C_in=1
+    # and spatial stride 2, which XLA's conv lowering runs at ~6 TFLOP/s on
+    # v5e. Folding each 2x2 spatial block into channels turns it into a
+    # stride-1 conv with C_in=4 and a (5,4,4) kernel — exactly the same
+    # arithmetic (kernel zero-padded 7->8 then regrouped; parity-tested
+    # against the direct conv AND torch in tests/test_video_tower.py).
     stem = params["stem"]
+    w3 = stem["conv"]["w"].astype(x.dtype)  # (5, 7, 7, 1, 64)
+    kD, kH, kW, _, CO = w3.shape
+    if kH % 2 == 1:
+        w3 = jnp.pad(w3, ((0, 0), (0, 1), (0, 1), (0, 0), (0, 0)))
+    # (5, 8, 8, 1, CO) -> (5, 4, 4, [2x2 phase], CO); phase (a, b) of the
+    # kernel pairs with input offset (a, b) inside each 2x2 block
+    w4 = w3.reshape(kD, (kH + 1) // 2, 2, (kW + 1) // 2, 2, 1, CO)
+    w4 = w4.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
+        kD, (kH + 1) // 2, (kW + 1) // 2, 4, CO)
+
+    xp = jnp.pad(x, ((0, 0), (2, 2), (3, 3), (3, 3), (0, 0)))
+    Bp, Tp, Hp, Wp, _ = xp.shape
+    z = xp.reshape(Bp, Tp, Hp // 2, 2, Wp // 2, 2, 1)
+    z = z.transpose(0, 1, 2, 4, 3, 5, 6).reshape(Bp, Tp, Hp // 2, Wp // 2, 4)
     x = jax.lax.conv_general_dilated(
-        x, stem["conv"]["w"].astype(x.dtype),
-        window_strides=(1, 2, 2),
-        padding=((2, 2), (3, 3), (3, 3)),
+        z, w4,
+        window_strides=(1, 1, 1),
+        padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
     x = _bn(x, stem["bn"], train_mode)
