@@ -36,6 +36,14 @@ def main():
     beams = int(os.environ.get("BEAMS", "1"))
 
     model = _flagship(tiny=False)
+    if os.environ.get("OMNI_WHISPER_INPUT") == "bucket":
+        import dataclasses
+
+        from omni_avsr_tpu.models.omni import OmniAVSR
+
+        model = OmniAVSR(dataclasses.replace(model.cfg,
+                                             whisper_input_mode="bucket"),
+                         model.tok)
     params = model.init_params(jax.random.PRNGKey(0))
     engine = OmniEngine(model, params, TrainConfig(), 1.0, noise_bank=None, seed=0)
     merged = engine.merged_params()
@@ -78,6 +86,7 @@ def main():
         "value": round(secs * n / dt, 1),
         "utterances_per_s": round(B * n / dt, 2),
         "batch": B, "frames": frames, "int8": use_int8, "beams": beams,
+        "whisper": os.environ.get("OMNI_WHISPER_INPUT", "pad30s"),
     }))
 
 
