@@ -107,9 +107,13 @@ def test_two_process_gloo_train_step():
     global (4,2) mesh, per-host batch feeding, one full Omni train step."""
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers provision their own device counts
-    r = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "benchmarks", "dryrun_multihost.py")],
-        env=env, cwd=ROOT, capture_output=True, text=True, timeout=600,
-    )
-    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
-    assert "dryrun_multihost ok" in r.stdout
+    last = None
+    for _ in range(2):  # the rendezvous can flake when the suite saturates CPU
+        r = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "benchmarks", "dryrun_multihost.py")],
+            env=env, cwd=ROOT, capture_output=True, text=True, timeout=600,
+        )
+        last = r
+        if r.returncode == 0 and "dryrun_multihost ok" in r.stdout:
+            return
+    assert False, (last.returncode, last.stdout[-2000:], last.stderr[-2000:])
