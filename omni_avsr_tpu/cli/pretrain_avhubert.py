@@ -26,17 +26,28 @@ from ..models.avhubert import avhubert_extract_features, init_avhubert
 from ..models.avhubert_pretrain import avhubert_pretrain_loss, init_pretrain_head
 from ..models.common import linear
 from ..models.resnet3d import resnet3d_forward
-from ..ops.augment import video_pipeline
+from ..ops.augment import pretrain_video_pipeline
 from ..train.optim import make_optimizer
 from .common import str2bool
 
 
-def load_unit_labels(labels_dir: str, name: str, T: int, n_units: int) -> np.ndarray:
+def labels_rate(labels_dir: str) -> int:
+    """Unit-label frame rate: 100 Hz for MFCC units (iteration 1), 25 Hz for
+    AV-HuBERT layer features (iterations 2-5). cluster_units records it."""
+    path = os.path.join(labels_dir, "label_rate.txt")
+    if os.path.exists(path):
+        return int(open(path).read().strip())
+    return 100
+
+
+def load_unit_labels(labels_dir: str, name: str, T: int, n_units: int,
+                     rate: int = 100) -> np.ndarray:
     path = os.path.join(labels_dir, name + ".km")
     if os.path.exists(path):
         ids = np.asarray(open(path).read().split(), np.int32)
-        # unit labels are at 10 ms hop (100 Hz); video frames at 25 Hz -> 4:1
-        ids = ids[::4][:T]
+        # video frames are 25 Hz; subsample 100 Hz (MFCC) unit labels 4:1
+        step = max(rate // 25, 1)
+        ids = ids[::step][:T]
     else:
         ids = np.zeros(0, np.int32)
     out = np.zeros(T, np.int32)
@@ -100,7 +111,9 @@ def main(argv=None):
     def step(params, opt_state, video, audio_feats, targets, lengths, key):
         def loss_fn(params):
             kv, kp = jax.random.split(key)
-            v = video_pipeline(kv, video, lengths, train=True)
+            # pretraining aug = crop + flip ONLY (`hubert_dataset.py:216-220`),
+            # not the fine-tune pipeline's AdaptiveTimeMask
+            v = pretrain_video_pipeline(kv, video, train=True)
             vf = resnet3d_forward(params["enc"]["video_frontend"], v)
             vfeat = linear(vf, params["enc"]["video_proj"])
             afeat = linear(audio_feats, params["enc"]["audio_proj"])
@@ -124,6 +137,7 @@ def main(argv=None):
 
     ds = AVDataset(args.root_dir, args.train_file, "audiovisual")
     tok = synthetic_tokenizer()
+    unit_rate = labels_rate(args.labels_dir) if args.labels_dir else 100
     n_steps, t0 = 0, time.time()
     while n_steps < args.max_steps:
         for batch_idx in bucket_batches(ds.input_lengths, args.max_frames, 4,
@@ -134,7 +148,8 @@ def main(argv=None):
             names = [os.path.splitext(os.path.basename(
                 ds.entries[i].rel_path))[0] for i in batch_idx]
             if args.labels_dir:
-                tgt = np.stack([load_unit_labels(args.labels_dir, nm, T, args.n_units)
+                tgt = np.stack([load_unit_labels(args.labels_dir, nm, T,
+                                                 args.n_units, unit_rate)
                                 for nm in names])
             else:  # derive quick targets from audio (demo/smoke path)
                 padded = b["audio"]  # (B, T*640)
@@ -156,7 +171,20 @@ def main(argv=None):
                       f"acc_m={float(aux['acc_masked']):.3f}")
             if n_steps >= args.max_steps:
                 break
-    print(f"done {n_steps} steps in {time.time() - t0:.1f}s")
+    # persist the encoder so clustering iterations 2-5 can dump its layer
+    # features (`clustering/dump_hubert_feature.py` loop) — cluster_units
+    # consumes this directory via --ckpt
+    import json
+
+    from ..config import asdict
+    from ..train.checkpoint import save_checkpoint
+
+    ckpt_path = save_checkpoint(
+        os.path.join(args.exp_dir, "checkpoints"), n_steps, params)
+    with open(os.path.join(args.exp_dir, "config.json"), "w") as f:
+        json.dump({"avhubert": asdict(cfg), "n_units": args.n_units,
+                   "final_dim": args.final_dim}, f, indent=2)
+    print(f"done {n_steps} steps in {time.time() - t0:.1f}s; saved {ckpt_path}")
     return params
 
 

@@ -127,6 +127,45 @@ def grayscale_luma(video: jax.Array) -> jax.Array:
     return jnp.einsum("...c,c->...", video, w)[..., None]
 
 
+def horizontal_flip(
+    rng: jax.Array,
+    video: jax.Array,  # (B, T, H, W, C)
+    p: float = 0.5,
+) -> jax.Array:
+    """Per-sample whole-clip horizontal flip with probability p
+    (`av_hubert/avhubert/utils.py:122-139`: one draw per clip, every frame
+    cv2.flip'd along width)."""
+    B = video.shape[0]
+    flip = jax.random.uniform(rng, (B,)) < p  # (B,)
+    flipped = video[:, :, :, ::-1, :]
+    return jnp.where(flip[:, None, None, None, None], flipped, video)
+
+
+def pretrain_video_pipeline(
+    rng: Optional[jax.Array],
+    video_u8: jax.Array,  # (B, T, H, W, C)
+    train: bool,
+    mean: float = 0.421,
+    std: float = 0.165,
+    flip_p: float = 0.5,
+) -> jax.Array:
+    """AV-HuBERT PRE-TRAINING image aug, batched on-device: /255 ->
+    RandomCrop(88) -> HorizontalFlip(0.5) -> Normalize
+    (`av_hubert/avhubert/hubert_dataset.py:216-220`). Unlike the fine-tune
+    `video_pipeline`, pretraining applies NO AdaptiveTimeMask and adds the
+    flip. Eval: CenterCrop, no flip (`:222-225`)."""
+    x = video_u8.astype(jnp.float32) / 255.0
+    if train:
+        k_crop, k_flip = jax.random.split(rng)
+    else:
+        k_crop = k_flip = None
+    x = crop_video(k_crop, x, 88, train)
+    x = grayscale_luma(x)
+    if train:
+        x = horizontal_flip(k_flip, x, flip_p)
+    return (x - mean) / std
+
+
 def video_pipeline(
     rng: Optional[jax.Array],
     video_u8: jax.Array,  # (B, T, H, W, C)

@@ -140,6 +140,49 @@ def test_video_pipeline_shapes_and_normalize():
     np.testing.assert_allclose(np.asarray(out)[0, 0, :, :, 0], expect, atol=1e-4)
 
 
+def test_horizontal_flip_semantics():
+    from omni_avsr_tpu.ops.augment import horizontal_flip
+
+    rng = np.random.RandomState(6)
+    video = jnp.asarray(rng.randn(64, 3, 4, 5, 1).astype(np.float32))
+    out = np.asarray(horizontal_flip(jax.random.PRNGKey(0), video, p=0.5))
+    v = np.asarray(video)
+    flipped = v[:, :, :, ::-1, :]
+    # each clip is either untouched or flipped WHOLE (one draw per clip,
+    # `av_hubert/avhubert/utils.py:122-139`)
+    is_flip = np.array([np.array_equal(out[i], flipped[i]) for i in range(64)])
+    is_same = np.array([np.array_equal(out[i], v[i]) for i in range(64)])
+    assert (is_flip | is_same).all()
+    assert 0.2 < is_flip.mean() < 0.8  # ~p=0.5
+    # p=0 / p=1 edge cases
+    assert np.array_equal(
+        np.asarray(horizontal_flip(jax.random.PRNGKey(1), video, p=0.0)), v)
+    assert np.array_equal(
+        np.asarray(horizontal_flip(jax.random.PRNGKey(1), video, p=1.0)), flipped)
+
+
+def test_pretrain_video_pipeline_no_time_mask():
+    """Pretraining aug is crop+flip only (`hubert_dataset.py:216-220`) —
+    no AdaptiveTimeMask, so no frame is ever zeroed wholesale."""
+    from omni_avsr_tpu.ops.augment import pretrain_video_pipeline
+
+    rng = np.random.RandomState(7)
+    video = rng.randint(1, 255, (4, 12, 96, 96, 1), dtype=np.uint8)
+    out = np.asarray(pretrain_video_pipeline(
+        jax.random.PRNGKey(2), jnp.asarray(video), train=True))
+    assert out.shape == (4, 12, 88, 88, 1)
+    # a time-masked frame would equal the normalised zero (-0.421/0.165);
+    # pretraining must never produce one
+    zero_val = (0.0 - 0.421) / 0.165
+    frame_is_zeroed = np.all(np.isclose(out, zero_val, atol=1e-5), axis=(2, 3, 4))
+    assert not frame_is_zeroed.any()
+    # eval path = center crop, no flip, matches fine-tune eval transform
+    out_eval = np.asarray(pretrain_video_pipeline(None, jnp.asarray(video), train=False))
+    ref_eval = np.asarray(video_pipeline(None, jnp.asarray(video),
+                                         jnp.array([12] * 4), train=False))
+    np.testing.assert_allclose(out_eval, ref_eval, atol=1e-5)
+
+
 def test_audio_pipeline_train_runs():
     rng = jax.random.PRNGKey(5)
     audio = jnp.asarray(np.random.RandomState(6).randn(2, 16000).astype(np.float32))
