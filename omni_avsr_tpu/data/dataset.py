@@ -65,7 +65,7 @@ def load_video(path: str) -> np.ndarray:
 
 def load_audio(path: str) -> np.ndarray:
     """wav (same basename as the mp4) -> (S,) f32 in [-1, 1]."""
-    wav_path = path[:-4] + ".wav" if path.endswith(".mp4") else path
+    wav_path = path[:-4] + ".wav" if path.endswith((".mp4", ".npy")) else path
     with wave.open(wav_path, "rb") as w:
         assert w.getframerate() == 16000, f"expected 16 kHz, got {w.getframerate()}"
         n = w.getnframes()

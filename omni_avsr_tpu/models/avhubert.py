@@ -178,15 +178,29 @@ def avhubert_encoder(
     features: jax.Array,  # (B, T, D) post-extract features
     lengths: Optional[jax.Array] = None,
     rng: Optional[jax.Array] = None,
+    output_layer: Optional[int] = None,
 ) -> jax.Array:
     """rng enables train()-mode stochastics: dropouts + layerdrop
-    (fairseq `TransformerEncoder.extract_features`, `wav2vec2.py:867-905`)."""
+    (fairseq `TransformerEncoder.extract_features`, `wav2vec2.py:867-905`).
+
+    output_layer (1-based, static) stops after that layer and skips the top
+    layer_norm — the layer-N feature dump behind iterative k-means targets
+    (`clustering/dump_hubert_feature.py:96-106`; `wav2vec2.py:45-51`: the top
+    norm applies only when `layer is None`). Note the reference's PATCHED
+    fairseq commented out the early break (`wav2vec2.py:878-886`), so its
+    tree silently returns the FINAL layer; we implement the stock/intended
+    stop-at-layer-N semantics the clustering recipe was written for."""
     x = features + _pos_conv(features, params["pos_conv"], cfg)
     mask = None
     if lengths is not None:
         mask = padding_mask_from_lengths(lengths, x.shape[1])[:, None, None, :]
 
     L = cfg.encoder_layers
+    if output_layer is not None:
+        assert 1 <= output_layer <= L, (output_layer, L)
+        L = output_layer
+        params = dict(params, layers=jax.tree_util.tree_map(
+            lambda a: a[:L], params["layers"]))
     if rng is not None:
         k_in, k_layers = jax.random.split(rng)
         x = _dropout(k_in, x, cfg.dropout)
@@ -212,7 +226,7 @@ def avhubert_encoder(
         x,
         (params["layers"], layer_keys, drop_u),
     )
-    if cfg.layer_norm_first:
+    if cfg.layer_norm_first and output_layer is None:
         tn = params["top_norm"]
         x = layer_norm(x, tn["scale"], tn["bias"])
     return x
@@ -258,12 +272,16 @@ def avhubert_encode(
     lengths: Optional[jax.Array] = None,
     train_mode: bool = False,
     rng: Optional[jax.Array] = None,
+    output_layer: Optional[int] = None,
 ) -> jax.Array:
     """Full `extract_finetune` equivalent: (B, T, D) encoder output.
     Passing rng enables train()-mode dropout/layerdrop (reference trains the
-    frozen encoder in train() mode)."""
+    frozen encoder in train() mode). output_layer=N dumps layer-N features
+    (`clustering/dump_hubert_feature.py:96-106`); see avhubert_encoder."""
     feats = avhubert_extract_features(params, cfg, video, audio, train_mode)
+    if output_layer == 0:  # ret_conv: the fused post-projection features
+        return feats
     if rng is not None and cfg.dropout_input > 0.0:
         k_in, rng = jax.random.split(rng)
         feats = _dropout(k_in, feats, cfg.dropout_input)
-    return avhubert_encoder(params, cfg, feats, lengths, rng)
+    return avhubert_encoder(params, cfg, feats, lengths, rng, output_layer)
