@@ -7,8 +7,16 @@ both processes + per-host batch feeding via
 `jax.make_array_from_process_local_data` — then ONE full Omni train step
 (augs, encoders, 3 LLM forwards, AdamW) on tiny shapes.
 
+Rendezvous is FILE-based (the fairseq test idiom, `av_hubert/fairseq/tests/
+distributed/utils.py:12-37` uses file:// init): rank 0 picks its own free
+port and publishes it atomically in --rdv-dir; rank 1 polls the file. No
+parent-probed port, so there is no probe->bind race to flake under load.
+Workers exit via os._exit after an explicit jax.distributed.shutdown() —
+interpreter teardown of the gloo/coordination stack can hang under CPU
+saturation, which used to eat the caller's timeout after a SUCCESSFUL run.
+
   python benchmarks/dryrun_multihost.py            # parent: spawns 2 workers
-  python benchmarks/dryrun_multihost.py --node-rank 0 --port 12355  # worker
+  python benchmarks/dryrun_multihost.py --node-rank 0 --rdv-dir /tmp/x  # worker
 """
 
 from __future__ import annotations
@@ -17,19 +25,55 @@ import argparse
 import os
 import subprocess
 import sys
+import tempfile
+import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
 N_PROC = 2
 DEV_PER_PROC = 4
+PORT_FILE = "port"
 
 
-def worker(rank: int, port: int) -> None:
+def _publish_port(rdv_dir: str) -> int:
+    """Rank 0: bind port 0 (OS-assigned, cannot collide), publish atomically."""
+    import socket
+
+    s = socket.socket()
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    tmp = os.path.join(rdv_dir, PORT_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(port))
+    os.rename(tmp, os.path.join(rdv_dir, PORT_FILE))  # atomic publish
+    # hold with SO_REUSEADDR until just before the coordinator binds; the
+    # remaining close->bind window is microseconds (vs seconds for a
+    # parent-probed port across a subprocess spawn)
+    s.close()
+    return port
+
+
+def _wait_port(rdv_dir: str, timeout_s: float = 300.0) -> int:
+    path = os.path.join(rdv_dir, PORT_FILE)
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if os.path.exists(path):
+            txt = open(path).read().strip()
+            if txt:
+                return int(txt)
+        time.sleep(0.2)
+    raise TimeoutError(f"no rendezvous port in {rdv_dir} after {timeout_s}s")
+
+
+def worker(rank: int, rdv_dir: str) -> None:
     sys.path.insert(0, ROOT)
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", DEV_PER_PROC)
+
+    port = _publish_port(rdv_dir) if rank == 0 else _wait_port(rdv_dir)
 
     import jax.numpy as jnp
     import numpy as np
@@ -77,34 +121,56 @@ def worker(rank: int, port: int) -> None:
     if is_primary():
         print(f"dryrun_multihost ok: {N_PROC} procs x {DEV_PER_PROC} devs, "
               f"mesh={dict(mesh.shape)}, loss={loss:.4f}", flush=True)
+    # orderly distributed teardown, then hard-exit: interpreter/atexit
+    # teardown of gloo has been observed to hang under CPU saturation. A
+    # watchdog force-exits even if shutdown() itself wedges.
+    import threading
+
+    watchdog = threading.Timer(60.0, lambda: os._exit(0))
+    watchdog.daemon = True
+    watchdog.start()
+    try:
+        jax.distributed.shutdown()
+    except Exception:
+        pass
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--node-rank", type=int, default=None)
-    p.add_argument("--port", type=int, default=0)
+    p.add_argument("--rdv-dir", default=None)
+    p.add_argument("--timeout", type=float, default=1200.0)
     args = p.parse_args()
 
     if args.node_rank is not None:
-        worker(args.node_rank, args.port)
+        worker(args.node_rank, args.rdv_dir)
         return 0
 
-    import socket
-
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers provision their own device counts
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__),
-             "--node-rank", str(r), "--port", str(port)],
-            env=env, cwd=ROOT,
-        )
-        for r in range(N_PROC)
-    ]
-    codes = [q.wait(timeout=600) for q in procs]
+    with tempfile.TemporaryDirectory(prefix="rdv_") as rdv_dir:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--node-rank", str(r), "--rdv-dir", rdv_dir],
+                env=env, cwd=ROOT,
+            )
+            for r in range(N_PROC)
+        ]
+        deadline = time.time() + args.timeout
+        codes = []
+        try:
+            for q in procs:
+                codes.append(q.wait(timeout=max(1.0, deadline - time.time())))
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                if q.poll() is None:
+                    q.kill()
+            print("FAILED: worker timeout", file=sys.stderr)
+            return 1
     if any(codes):
         print(f"FAILED: worker exit codes {codes}", file=sys.stderr)
         return 1
