@@ -4,8 +4,17 @@ Headline metric: end-to-end AVSR decode real-time factor (RTF) on one chip —
 raw 96x96 video frames + 16 kHz waveform in, transcript ids out, through the
 full flagship stack (on-device log-mel + Whisper-medium geometry encoder,
 ResNet3D + AV-HuBERT-Large geometry video encoder, matryoshka compression at
-(audio 4, video 2), projectors, Llama-3.2-1B decoder with Omni-LoRA, greedy
-32-token decode with static KV cache).
+(audio 4, video 2), projectors, Llama-3.2-1B decoder with Omni-LoRA) in the
+REFERENCE DECODE CONFIGURATION: beam 15, 32 new tokens
+(`modeling_OmniAVSR.py:312-322`) with a static split KV cache.
+
+Defaults (round 3) run the validated fast paths — each is WER-neutral by
+tiny-trained-model evidence and stays one env var away from reference-exact
+for converted-checkpoint verification (PARITY.md "bench defaults"):
+  - bucketed Whisper window  (tests/test_bucket_wer.py;   BENCH_WHISPER=pad30s)
+  - int8 weight-only decode  (tests/test_int8_wer.py;     BENCH_INT8=0)
+  - beam 15                  (the reference's own setting; BENCH_BEAMS=1 for
+    the greedy number reported in rounds 1-2)
 
 vs_baseline is RTF / 20 — the north-star target is >= 20x real time per
 TPU v5e chip (BASELINE.md). Weights are random (no checkpoint access here);
@@ -33,7 +42,10 @@ def main():
     import os
 
     model = _flagship(tiny=False)
-    if os.environ.get("BENCH_WHISPER") == "bucket":
+    # bucketed Whisper window is the default (kept mel frames bit-identical,
+    # WER-neutral per tests/test_bucket_wer.py); BENCH_WHISPER=pad30s gives
+    # the reference-exact 30 s window.
+    if os.environ.get("BENCH_WHISPER", "bucket") == "bucket":
         import dataclasses
 
         from omni_avsr_tpu.models.omni import OmniAVSR
@@ -44,15 +56,17 @@ def main():
     params = model.init_params(jax.random.PRNGKey(0))
     engine = OmniEngine(model, params, TrainConfig(), 1.0, noise_bank=None, seed=0)
     merged = engine.merged_params()
-    if os.environ.get("BENCH_INT8"):  # measurement mode: int8 decode weights
+    # int8 weight-only decode is the default (WER-neutral per
+    # tests/test_int8_wer.py); BENCH_INT8=0 for bf16 weights.
+    if os.environ.get("BENCH_INT8", "1") not in ("0", ""):
         from omni_avsr_tpu.ops.quant import quantize_decode_params
 
         merged = quantize_decode_params(merged)
 
-    # BENCH_BEAMS=15 measures the WER-parity decode configuration
-    # (`modeling_OmniAVSR.py:312-322`: beams 15, 32 new tokens); default is
-    # the greedy north-star metric.
-    beams = int(os.environ.get("BENCH_BEAMS", "1"))
+    # default = the WER-parity decode configuration
+    # (`modeling_OmniAVSR.py:312-322`: beams 15, 32 new tokens);
+    # BENCH_BEAMS=1 gives the greedy metric reported in rounds 1-2.
+    beams = int(os.environ.get("BENCH_BEAMS", "15"))
 
     frames = 160  # 6.4 s clip @ 25 fps
     secs = frames / 25.0
