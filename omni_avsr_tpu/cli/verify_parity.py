@@ -18,6 +18,22 @@ target).
 `--convert-only` stops after conversion and prints a param-tree summary
 (shape/dtype census vs the model's own init) — useful on machines that have
 the checkpoint but not the corpus.
+
+`--modes bf16,int8,bucket` runs the grid once per decode mode and emits a
+side-by-side column per mode: `bf16` is reference-exact; `int8` adds
+weight-only int8 LLM decode; `bucket` adds the bucketed Whisper window
+(`--whisper-input-mode bucket`). This answers, in ONE run on a machine with
+real checkpoints, whether each fast path is WER-neutral at full scale (the
+tiny-scale evidence lives in tests/test_int8_wer.py and
+tests/test_bucket_wer.py). Parity vs BASELINE.md is judged on the bf16
+column; other columns are diffed against bf16.
+
+`--golden-clip video_example.mp4` additionally preprocesses the reference's
+bundled clip (RetinaFace/FAN when weights are available, deterministic
+fallback otherwise) and records its beam-15 transcript per mode — the
+SURVEY §4(d) golden-clip check (`preprocessing_inference_example/README.md:
+40-66`). Audio is taken from a sibling .wav (or --golden-audio); without
+one, the transcript is VSR-only.
 """
 
 from __future__ import annotations
@@ -54,8 +70,63 @@ def parse_args(argv=None):
     p.add_argument("--convert-only", action="store_true",
                    help="stop after checkpoint conversion; print a tree summary")
     p.add_argument("--output-json", default="PARITY_RESULTS.json")
+    p.add_argument("--modes", default="bf16",
+                   help="comma list of decode modes to grid: bf16,int8,bucket")
+    p.add_argument("--golden-clip", default=None,
+                   help="raw mp4 (e.g. video_example.mp4): preprocess + "
+                        "transcribe per mode, recorded in the report")
+    p.add_argument("--golden-audio", default=None,
+                   help="16 kHz wav for the golden clip (default: sibling "
+                        ".wav of --golden-clip if present)")
     args, rest = p.parse_known_args(argv)
     return args, rest
+
+
+MODE_ARGV = {
+    "bf16": [],
+    "int8": ["--quantize-decode", "int8"],
+    "bucket": ["--whisper-input-mode", "bucket"],
+}
+
+
+def golden_transcripts(clip, audio_path, eval_argv, modes):
+    """Preprocess --golden-clip and beam-decode it under each mode."""
+    import os
+
+    import numpy as np
+
+    from ..data.dataset import load_audio, load_video
+    from ..preprocess.detector import build_detector
+    from ..preprocess.mean_face import load_mean_face
+    from ..preprocess.video_process import extract_mouth_rois
+    from ..serve import Transcriber
+    from . import eval_omni
+    from .common import build_model, build_params
+
+    frames = load_video(clip)
+    det = build_detector("auto")
+    rois = extract_mouth_rois(frames, det(frames), load_mean_face())
+    video = np.repeat(rois[..., None], 3, axis=-1)
+
+    if audio_path is None:
+        sib = clip[:-4] + ".wav"
+        audio_path = sib if os.path.exists(sib) else None
+    audio = load_audio(audio_path) if audio_path else None
+    modality = "audiovisual" if audio is not None else "video"
+
+    out = {}
+    for mode in modes:
+        ep = eval_omni.parse_args(eval_argv + MODE_ARGV[mode] +
+                                  ["--print-hyp", "false"])
+        model = build_model(ep)
+        params = build_params(ep, model)
+        t = Transcriber(model, params,
+                        num_beams=model.cfg.num_beams,
+                        max_new_tokens=model.cfg.max_dec_tokens,
+                        quantize="int8" if mode == "int8" else None)
+        out[mode] = t.transcribe(video=video, audio=audio, modality=modality)
+        print(f"golden-clip [{mode}, {modality}]: {out[mode]!r}")
+    return {"modality": modality, "transcripts": out}
 
 
 def _tree_summary(params, init_params):
@@ -99,7 +170,17 @@ def main(argv=None):
               f"{summary['parameters']:,} params in {summary['leaves']} leaves")
         return 0 if ok else 1
 
-    results = eval_omni.main(eval_argv)
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+    unknown = [m for m in modes if m not in MODE_ARGV]
+    assert not unknown, f"unknown modes {unknown}; pick from {list(MODE_ARGV)}"
+    if "bf16" not in modes:
+        modes.insert(0, "bf16")  # parity is always judged on bf16
+
+    mode_results = {}
+    for mode in modes:
+        print(f"\n--- running decode grid: mode={mode} ---")
+        mode_results[mode] = eval_omni.main(eval_argv + MODE_ARGV[mode])
+    results = mode_results["bf16"]
 
     baseline = BASELINE_WER[args.dataset]
     rows, worst = [], 0.0
@@ -114,27 +195,46 @@ def main(argv=None):
         ours_pct = 100.0 * ours
         delta = ours_pct - ref_wer
         worst = max(worst, abs(delta))
-        rows.append(dict(setting=key, reference=ref_wer,
-                         ours=round(ours_pct, 2), delta=round(delta, 2),
-                         status="PASS" if abs(delta) <= args.tolerance else "FAIL"))
+        row = dict(setting=key, reference=ref_wer,
+                   ours=round(ours_pct, 2), delta=round(delta, 2),
+                   status="PASS" if abs(delta) <= args.tolerance else "FAIL")
+        # fast-path columns: diff vs OUR bf16 (is the fast path WER-neutral?)
+        for mode in modes:
+            if mode == "bf16":
+                continue
+            m = mode_results[mode].get(key)
+            row[mode] = None if m is None else round(100.0 * m, 2)
+            row[f"{mode}_vs_bf16"] = (None if m is None
+                                      else round(100.0 * m - ours_pct, 2))
+        rows.append(row)
 
     measured = [r for r in rows if r["ours"] is not None]
     avg_ours = sum(r["ours"] for r in measured) / max(1, len(measured))
     avg_ref = sum(r["reference"] for r in measured) / max(1, len(measured))
 
+    extra_cols = [m for m in modes if m != "bf16"]
+    hdr = "".join(f" {m:>7}" for m in extra_cols)
     print(f"\n=== parity vs BASELINE.md ({args.dataset}, tol {args.tolerance}) ===")
-    print(f"{'setting':<34} {'ref':>6} {'ours':>6} {'delta':>6}  status")
+    print(f"{'setting':<34} {'ref':>6} {'bf16':>6} {'delta':>6}{hdr}  status")
     for r in rows:
         ours = f"{r['ours']:.2f}" if r["ours"] is not None else "--"
         delta = f"{r['delta']:+.2f}" if r["delta"] is not None else "--"
-        print(f"{r['setting']:<34} {r['reference']:>6.2f} {ours:>6} {delta:>6}  {r['status']}")
+        extras = "".join(
+            f" {r.get(m):>7.2f}" if r.get(m) is not None else f" {'--':>7}"
+            for m in extra_cols)
+        print(f"{r['setting']:<34} {r['reference']:>6.2f} {ours:>6} {delta:>6}"
+              f"{extras}  {r['status']}")
     print(f"{'AVG over measured settings':<34} {avg_ref:>6.2f} {avg_ours:>6.2f} "
           f"{avg_ours - avg_ref:+6.2f}")
 
-    report = dict(dataset=args.dataset, tolerance=args.tolerance, rows=rows,
+    report = dict(dataset=args.dataset, tolerance=args.tolerance, modes=modes,
+                  rows=rows,
                   avg_reference=round(avg_ref, 3), avg_ours=round(avg_ours, 3),
                   worst_abs_delta=(None if worst == float("inf") else round(worst, 3)),
                   passed=all(r["status"] == "PASS" for r in rows))
+    if args.golden_clip:
+        report["golden_clip"] = golden_transcripts(
+            args.golden_clip, args.golden_audio, eval_argv, modes)
     with open(args.output_json, "w") as f:
         json.dump(report, f, indent=2)
     print(f"wrote {args.output_json}")
