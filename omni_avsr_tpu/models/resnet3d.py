@@ -57,17 +57,49 @@ def _conv2d(x: jax.Array, w: jax.Array, stride: int, padding: int) -> jax.Array:
     )
 
 
+def _prelu_vec(p: Params, name: str, cout: int) -> jax.Array:
+    """PReLU slope vector; the relu_type='relu' variant is PReLU with a=0."""
+    return p[name] if name in p else jnp.zeros((cout,), jnp.float32)
+
+
 def _basic_block(p: Params, x: jax.Array, stride: int, train_mode: bool) -> jax.Array:
+    """BasicBlock (`resnet.py:35-60`) through ops/conv_block.fused_conv:
+    XLA convs with the BN affine folded per-channel and the
+    affine+residual+PReLU epilogue expressed for XLA to fuse (the Pallas
+    kernel behind the same interface is an opt-in experiment — measured
+    slower in-program, docs/ROUND3_NOTES.md). Eval: frozen BN running stats
+    fold into (scale, bias). Train: the reference runs batch statistics
+    (frozen encoder in train() mode), a global reduction over the conv
+    output, so the conv emits raw and the affine+PReLU runs as one
+    XLA-fused elementwise pass."""
+    from ..ops.conv_block import bn_fold, fused_conv
+
+    cout = p["conv1"]["w"].shape[-1]
+    a1 = _prelu_vec(p, "prelu1", cout)
+    a2 = _prelu_vec(p, "prelu2", cout)
+
+    if not train_mode:
+        residual = x
+        if "downsample" in p:
+            sd, bd = bn_fold(p["downsample"]["bn"])
+            residual = fused_conv(x, p["downsample"]["conv"]["w"], stride, 0,
+                                  scale=sd, bias=bd)
+        s1, b1 = bn_fold(p["bn1"])
+        h = fused_conv(x, p["conv1"]["w"], stride, 1, scale=s1, bias=b1,
+                       prelu_a=a1)
+        s2, b2 = bn_fold(p["bn2"])
+        return fused_conv(h, p["conv2"]["w"], 1, 1, scale=s2, bias=b2,
+                          prelu_a=a2, residual=residual)
+
     residual = x
-    h = _conv2d(x, p["conv1"]["w"], stride, 1)
-    h = _bn(h, p["bn1"], train_mode)
-    h = _act(h, p, "prelu1")
-    h = _conv2d(h, p["conv2"]["w"], 1, 1)
-    h = _bn(h, p["bn2"], train_mode)
     if "downsample" in p:
-        residual = _conv2d(x, p["downsample"]["conv"]["w"], stride, 0)
-        residual = _bn(residual, p["downsample"]["bn"], train_mode)
-    return _act(h + residual, p, "prelu2")
+        r = fused_conv(x, p["downsample"]["conv"]["w"], stride, 0)
+        residual = _bn(r, p["downsample"]["bn"], True)
+    h = fused_conv(x, p["conv1"]["w"], stride, 1)
+    h = prelu(_bn(h, p["bn1"], True), a1)
+    h = fused_conv(h, p["conv2"]["w"], 1, 1)
+    h = _bn(h, p["bn2"], True)
+    return prelu(h + residual, a2)
 
 
 def _init_bn(c: int, dtype) -> Params:
