@@ -42,6 +42,44 @@ from ..models.llm import (
 
 NEG = -1e9
 
+# Beam candidate selection route: "fused" (default) selects per-beam top-2K
+# on raw logits then scores survivors; "grid" materialises the full
+# (B, K*V) candidate grid (the pre-round-3 route, and always used when an
+# n-gram ban mask must land before selection). Motivation + A/B numbers:
+# docs/ROUND3_NOTES.md "decode breakdown".
+import os as _os
+
+_SELECT_MODE = _os.environ.get("OMNI_BEAM_SELECT", "fused")
+
+
+def topk_chunked(x: jax.Array, k: int, chunk: int = 128):
+    """Exact top-k over the last axis via a chunk-max prefilter.
+
+    `jax.lax.top_k` over a long row reads/sorts the whole row; this computes
+    per-chunk maxima (one pass), takes the top-k CHUNKS, and finishes inside
+    the k*chunk gathered survivors. Exact because at most k chunks can hold
+    an element >= the k-th largest (each such chunk holds >= 1 of the k
+    elements >= it), so the top-k chunks-by-max are a superset of the chunks
+    containing the true top-k. Tie caveat (documented, like the fused beam
+    route): >= k+1 values exactly equal at the k-th-place boundary may
+    resolve in chunk-major order instead of flat-index order.
+
+    Returns (values, indices) shaped (..., k), sorted descending.
+    """
+    V = x.shape[-1]
+    if V <= 4 * k * chunk:  # small rows: the prefilter can't pay for itself
+        return jax.lax.top_k(x, k)
+    C = -(-V // chunk)
+    if C * chunk != V:
+        pad = jnp.full((*x.shape[:-1], C * chunk - V), NEG, x.dtype)
+        x = jnp.concatenate([x, pad], axis=-1)
+    xc = x.reshape(*x.shape[:-1], C, chunk)
+    _, cidx = jax.lax.top_k(jnp.max(xc, axis=-1), k)  # (..., k) chunk ids
+    cand = jnp.take_along_axis(xc, cidx[..., None], axis=-2)  # (..., k, chunk)
+    vals, gi = jax.lax.top_k(cand.reshape(*cand.shape[:-2], k * chunk), k)
+    idx = jnp.take_along_axis(cidx, gi // chunk, axis=-1) * chunk + gi % chunk
+    return vals, idx
+
 
 def _prefill(params, cfg, prefix_embeds, prefix_len, key_valid, cache, modality):
     """Dispatch contiguous vs gap-tolerant prefill. Returns
@@ -248,11 +286,34 @@ def beam_loop(
 
     def step(carry, t):
         state, logits, cum, tokens, heap = carry
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # (B,K,V)
-        if no_repeat_ngram_size > 0:
-            logp = logp + ngram_ban_mask(tokens, t)
-        cand = (cum[:, :, None] + logp).reshape(B, K * V)
-        scores2k, idx2k = jax.lax.top_k(cand, 2 * K)  # (B, 2K)
+        if no_repeat_ngram_size > 0 or _SELECT_MODE == "grid":
+            # full-grid route: the ban mask must land BEFORE selection (a
+            # banned token inside a beam's top-2K would otherwise displace
+            # a valid candidate), so materialise the (B, K*V) grid
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            if no_repeat_ngram_size > 0:
+                logp = logp + ngram_ban_mask(tokens, t)
+            cand = (cum[:, :, None] + logp).reshape(B, K * V)
+            scores2k, idx2k = jax.lax.top_k(cand, 2 * K)  # (B, 2K)
+        else:
+            # fused route: within a beam the candidate score
+            # cum_k + (x - mx_k) - lse_k is monotone in the raw logit x, so
+            # the global top-2K is contained in the per-beam top-2K of raw
+            # logits — select there (small rows, no (B, K*V) f32 grid, no
+            # log-prob materialisation), then score only the 2K*K survivors
+            # with the exact same elementwise ops as the grid route.
+            # (Sole semantic edge: exact fp ties inside one beam resolve by
+            # logit order here vs flat-grid index order there.)
+            x = logits.astype(jnp.float32)  # (B,K,V)
+            mx = jnp.max(x, axis=-1, keepdims=True)
+            lse = jnp.log(jnp.sum(jnp.exp(x - mx), axis=-1, keepdims=True))
+            vals, vidx = topk_chunked(x, 2 * K)  # (B, K, 2K) per beam
+            cand_sel = cum[:, :, None] + ((vals - mx) - lse)  # (B, K, 2K)
+            scores2k, sel = jax.lax.top_k(
+                cand_sel.reshape(B, K * 2 * K), 2 * K)  # (B, 2K)
+            v_sel = jnp.take_along_axis(
+                vidx.reshape(B, K * 2 * K), sel, axis=1)
+            idx2k = (sel // (2 * K)) * V + v_sel  # global (beam, token) ids
         parent = idx2k // V  # (B, 2K)
         tok = (idx2k % V).astype(jnp.int32)
         is_eos = tok == eos_id

@@ -207,3 +207,26 @@ def test_beam_parity(tiny_pair, num_beams, max_new, eos_id):
         cache_dtype=jnp.float32,
     )
     _compare(ours, ref, eos_id, pad_id, max_new)
+
+
+def test_topk_chunked_exact():
+    """topk_chunked == lax.top_k on long rows: random, adversarial (all
+    top-k inside one chunk), non-divisible V (pad path)."""
+    from omni_avsr_tpu.decode.decoding import topk_chunked
+
+    rng = np.random.RandomState(0)
+    for V in (70000, 70001):  # divisible / pad path (chunk=128 | 70000? no)
+        x = rng.randn(3, 5, V).astype(np.float32)
+        # adversarial: plant the global top 8 all inside one chunk
+        x[0, 0, 1000:1008] = 100.0 + np.arange(8)
+        xj = jnp.asarray(x)
+        vals, idx = topk_chunked(xj, 8)
+        rv, ri = jax.lax.top_k(xj, 8)
+        np.testing.assert_array_equal(np.asarray(vals), np.asarray(rv))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
+    # small rows fall through to plain top_k
+    x = jnp.asarray(rng.randn(4, 50).astype(np.float32))
+    vals, idx = topk_chunked(x, 3)
+    rv, ri = jax.lax.top_k(x, 3)
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ri))
