@@ -6,11 +6,16 @@ static-shape XLA program:
 
   - the prefix (multimodal embeddings) is padded to a bucket length P and
     prefilled once; pad slots are masked out of the cache
-  - the token loop is a `lax.scan` of exactly max_new steps — finished-
-    hypothesis bookkeeping makes early exit unnecessary (insertions only
-    ever improve the kept set, so running to the bound is semantically
-    identical to HF's is_done cut-off, minus its known early_stopping=False
+  - greedy runs scan-chunks inside a while_loop (early exit at chunk
+    granularity); beam runs a per-step while_loop whose sound early-exit
+    bound (worst kept >= best attainable) makes stopping semantically
+    identical to running all max_new steps — insertions only ever improve
+    the kept set (HF's is_done cut-off, minus its early_stopping=False
     approximation)
+  - beam candidate selection avoids the (B, K*V) grid: per-beam top-2K on
+    raw logits (monotone under the per-beam cum - lse shift) via an exact
+    chunk-max-prefiltered top-k, then the 2K*K survivors are scored with
+    bit-identical elementwise ops (OMNI_BEAM_SELECT=grid: old route)
   - beam reordering is a gather on the cache's batch axis
 
 HF semantics reproduced (transformers `BeamSearchScorer`):
