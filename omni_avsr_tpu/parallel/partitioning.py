@@ -101,6 +101,71 @@ def encoder_partition_specs(params: Any) -> Any:
     return _tree_specs(params, ENCODER_RULES)
 
 
+# Decode/serving specs. The serving param tree is the MERGED tree
+# ({"llm", "whisper", "avhubert", projectors, ...}), optionally int8-
+# quantized: `ops/quant.py` replaces each big `w` with int8 IN PLACE and
+# adds a per-out-channel scale vector `s` beside it — so the weight rules
+# above still match, and the scales shard with their weight's out dim
+# (replicated where the out dim is the contracted/unsharded one: o, down).
+LLM_DECODE_RULES: List[Tuple[str, P]] = [
+    (r".*attn\.(q|k|v)\.s$", P(AXIS_TP)),
+    (r".*mlp\.(gate|up)\.s$", P(AXIS_TP)),
+    (r"^lm_head\.s$", P(AXIS_TP)),
+] + LLM_RULES
+
+ENCODER_DECODE_RULES: List[Tuple[str, P]] = [
+    (r".*fc1\.s$", P(AXIS_TP)),
+] + ENCODER_RULES
+
+
+def decode_partition_specs(merged: Any) -> Any:
+    """Specs for a merged (and possibly quantized) serving param tree:
+    tp-shard the LLM matmuls + encoder FFNs, replicate the rest. Batch
+    stays unsharded (serving shards the model, not the data); GSPMD
+    inserts the all-gathers/reduces inside the jitted decode program."""
+    out = {}
+    for k, v in merged.items():
+        if k == "llm":
+            out[k] = _tree_specs(v, LLM_DECODE_RULES)
+        elif k in ("whisper", "avhubert"):
+            out[k] = _tree_specs(v, ENCODER_DECODE_RULES)
+        else:
+            out[k] = _tree_specs(v, [])
+    return out
+
+
+def clamp_specs_to_shapes(mesh: Mesh, params: Any, specs: Any) -> Any:
+    """Drop sharding on any dim whose size the mesh axis doesn't divide
+    (GSPMD device_put requires divisibility). Flagship checkpoints divide
+    on every rule above; this keeps tiny/test configs and odd vocab sizes
+    runnable — the affected leaf just replicates, with a warning."""
+    import math
+    import warnings
+
+    def axis_size(axis) -> int:
+        names = axis if isinstance(axis, tuple) else (axis,)
+        return math.prod(mesh.shape[n] for n in names)
+
+    def one(x, s):
+        if not isinstance(s, P) or not len(s):
+            return s
+        out, changed = [], False
+        for dim, axis in enumerate(s):
+            if axis is not None and x.shape[dim] % axis_size(axis):
+                out.append(None)
+                changed = True
+            else:
+                out.append(axis)
+        if changed:
+            warnings.warn(
+                f"replicating dim(s) of leaf shape {x.shape}: {s} does not "
+                f"divide under mesh {dict(mesh.shape)}", stacklevel=2)
+        return P(*out)
+
+    return jax.tree_util.tree_map(
+        one, params, specs, is_leaf=lambda x: isinstance(x, P))
+
+
 def shard_params(mesh: Mesh, params: Any, specs: Any) -> Any:
     """Device_put params according to spec tree."""
     return jax.tree_util.tree_map(

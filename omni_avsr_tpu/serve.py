@@ -38,6 +38,7 @@ class Transcriber:
         max_new_tokens: Optional[int] = None,
         video_pad_multiple: int = 32,
         quantize: Optional[str] = None,  # "int8" halves decode weight traffic
+        mesh=None,  # jax.sharding.Mesh: tp-shard the model across chips
     ):
         self.model = model
         self.engine = OmniEngine(model, params, TrainConfig(), 1.0, noise_bank=None,
@@ -48,6 +49,23 @@ class Transcriber:
 
             self.params = dict(self.params)
             self.params = quantize_decode_params(self.params)
+        self.mesh = mesh
+        if mesh is not None:
+            # Multi-chip serving: tp-shard the LLM matmuls (+ encoder FFNs)
+            # over the mesh and let GSPMD insert the collectives inside the
+            # same jitted decode programs. Batch stays unsharded — model
+            # parallelism is the serving axis (latency), dp is just more
+            # replicas of the Transcriber.
+            from .parallel.partitioning import (
+                clamp_specs_to_shapes,
+                decode_partition_specs,
+                shard_params,
+            )
+
+            specs = clamp_specs_to_shapes(
+                mesh, self.params, decode_partition_specs(self.params)
+            )
+            self.params = shard_params(mesh, self.params, specs)
         self.num_beams = num_beams if num_beams is not None else model.cfg.num_beams
         self.max_new = max_new_tokens if max_new_tokens is not None else model.cfg.max_dec_tokens
         self.video_pad_multiple = video_pad_multiple

@@ -1,0 +1,120 @@
+"""Multi-chip (tp-sharded) serving: decode under a model-parallel mesh.
+
+The reference serves by running its eval script on one GPU; here the same
+jitted decode programs run under GSPMD with the LLM matmuls tp-sharded
+(`parallel/partitioning.py::decode_partition_specs`) — collectives are
+inserted by XLA, no code change on the decode path. These tests pin
+(a) sharded greedy/beam decode is token-identical to single-device decode
+(f32 params: reduction-order noise ~1e-6 is far below argmax margins) and
+(b) the int8-quantized tree shards too (scale vectors follow their weight's
+out dim).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from omni_avsr_tpu.config import MeshConfig
+from omni_avsr_tpu.parallel.mesh import make_mesh
+from omni_avsr_tpu.serve import Transcriber
+from tests.test_omni import tiny_omni
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = tiny_omni()
+    params = model.init_params(jax.random.PRNGKey(0), frozen_dtype=jax.numpy.float32)
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def media():
+    rng = np.random.RandomState(3)
+    audio = (rng.randn(24000) * 0.1).astype(np.float32)
+    video = rng.randint(0, 255, (40, 96, 96, 3), dtype=np.uint8)
+    return audio, video
+
+
+def _tp_mesh():
+    return make_mesh(MeshConfig(dp=1, tp=2), devices=jax.devices()[:2])
+
+
+@pytest.mark.slow
+def test_tp_sharded_decode_matches_single_device(model_and_params, media):
+    model, params = model_and_params
+    audio, video = media
+    ref = Transcriber(model, params, num_beams=2, max_new_tokens=6)
+    tp = Transcriber(model, params, num_beams=2, max_new_tokens=6, mesh=_tp_mesh())
+    for kwargs in ({"audio": audio}, {"video": video},
+                   {"audio": audio, "video": video}):
+        assert tp.transcribe(**kwargs) == ref.transcribe(**kwargs)
+
+
+def test_tp_sharded_greedy_matches(model_and_params, media):
+    model, params = model_and_params
+    audio, _ = media
+    ref = Transcriber(model, params, num_beams=1, max_new_tokens=6)
+    tp = Transcriber(model, params, num_beams=1, max_new_tokens=6, mesh=_tp_mesh())
+    assert tp.transcribe(audio=audio) == ref.transcribe(audio=audio)
+
+
+@pytest.mark.slow
+def test_tp_sharded_int8_decode_runs(model_and_params, media):
+    """int8 tree (w -> int8 in place + sibling "s" scales) shards and
+    decodes under tp; transcript matches the single-device int8 one."""
+    model, params = model_and_params
+    audio, video = media
+    ref = Transcriber(model, params, num_beams=2, max_new_tokens=6,
+                      quantize="int8")
+    tp = Transcriber(model, params, num_beams=2, max_new_tokens=6,
+                     quantize="int8", mesh=_tp_mesh())
+    assert (tp.transcribe(audio=audio, video=video)
+            == ref.transcribe(audio=audio, video=video))
+
+
+def test_decode_specs_cover_quantized_tree(model_and_params):
+    """Every int8 scale vector whose weight is out-dim-sharded gets a tp
+    spec; o/down scales stay replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    from omni_avsr_tpu.ops.quant import quantize_decode_params
+    from omni_avsr_tpu.parallel.partitioning import AXIS_TP, decode_partition_specs
+    from omni_avsr_tpu.train.engine import OmniEngine
+    from omni_avsr_tpu.config import TrainConfig
+
+    model, params = model_and_params
+    engine = OmniEngine(model, params, TrainConfig(), 1.0, noise_bank=None,
+                        inference_only=True)
+    merged = quantize_decode_params(engine.merged_params())
+    specs = decode_partition_specs(merged)
+    llm = specs["llm"]["layers"]
+    assert llm["attn"]["q"]["s"] == P(None, AXIS_TP)
+    assert llm["attn"]["o"]["s"] == P()
+    assert llm["mlp"]["gate"]["s"] == P(None, AXIS_TP)
+    assert llm["mlp"]["down"]["s"] == P()
+    assert specs["llm"]["lm_head"]["s"] == P(AXIS_TP)
+    # weights keep their existing rules through the in-place int8 swap
+    assert llm["attn"]["q"]["w"] == P(None, None, AXIS_TP)
+
+
+def test_clamp_specs_replicates_indivisible_dims():
+    """tiny vocab 254 % tp=4 != 0 -> that leaf replicates (warned) instead
+    of crashing device_put; divisible leaves keep their sharding."""
+    import numpy as np
+    import warnings
+    from jax.sharding import PartitionSpec as P
+
+    from omni_avsr_tpu.config import MeshConfig
+    from omni_avsr_tpu.parallel.mesh import AXIS_TP, make_mesh
+    from omni_avsr_tpu.parallel.partitioning import clamp_specs_to_shapes
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=4), devices=jax.devices()[:4])
+    params = {"head": np.zeros((64, 254)), "q": np.zeros((64, 64))}
+    specs = {"head": P(None, AXIS_TP), "q": P(None, AXIS_TP)}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = clamp_specs_to_shapes(mesh, params, specs)
+    assert out["head"] == P(None, None)
+    assert out["q"] == P(None, AXIS_TP)
+    assert any("replicating" in str(x.message) for x in w)
