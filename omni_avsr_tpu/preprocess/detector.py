@@ -28,8 +28,19 @@ class LandmarksDetector(Protocol):
         ...
 
 
+def largest_face_index(faces: np.ndarray) -> int:
+    """The reference's largest-face pick: width+height SUM, not area, first
+    wins on ties (`preprocessing_inference_example/detector.py:33-37`)."""
+    sizes = (faces[:, 2] - faces[:, 0]) + (faces[:, 3] - faces[:, 1])
+    return int(np.argmax(sizes))
+
+
 class IbugLandmarksDetector:
-    """RetinaFace + FAN, largest-face pick per frame (reference behaviour)."""
+    """RetinaFace + FAN, largest-face pick per frame (reference behaviour).
+
+    The reference runs FAN on every detected face then keeps the largest
+    face's landmarks; running FAN only on the selected face yields the same
+    output (per-face FAN results are independent) for one inference."""
 
     def __init__(self, device: str = "cpu"):
         from ibug.face_detection import RetinaFacePredictor
@@ -48,9 +59,7 @@ class IbugLandmarksDetector:
             if len(faces) == 0:
                 out.append(None)
                 continue
-            # largest face by area (`detector.py:24-38`)
-            areas = (faces[:, 2] - faces[:, 0]) * (faces[:, 3] - faces[:, 1])
-            face = faces[int(np.argmax(areas))]
+            face = faces[largest_face_index(faces)]
             landmarks, _ = self.landmark_detector(frame, face[None], rgb=True)
             out.append(np.asarray(landmarks[0], np.float64))
         return out

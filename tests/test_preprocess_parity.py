@@ -173,3 +173,17 @@ def test_cut_patch_overflow():
 def test_stable_points_are_reference_set():
     assert STABLE_POINTS == (28, 33, 36, 39, 42, 45, 48, 54)
     assert (MOUTH_START, MOUTH_STOP) == (48, 68)
+
+
+def test_largest_face_is_width_plus_height_sum():
+    """The reference picks max (w + h), NOT max area, first wins on ties
+    (`preprocessing_inference_example/detector.py:33-37`): a 10x30 face
+    (sum 40, area 300) must beat a 19x19 face (sum 38, area 361)."""
+    from omni_avsr_tpu.preprocess.detector import largest_face_index
+
+    faces = np.array([[0.0, 0.0, 19.0, 19.0],   # area 361, sum 38
+                      [0.0, 0.0, 10.0, 30.0]])  # area 300, sum 40
+    assert largest_face_index(faces) == 1
+    # tie -> first index (reference loop uses strict >)
+    faces = np.array([[0.0, 0.0, 20.0, 20.0], [0.0, 0.0, 10.0, 30.0]])
+    assert largest_face_index(faces) == 0
