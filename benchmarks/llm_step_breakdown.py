@@ -107,10 +107,10 @@ def main():
     L = int(cfg.num_layers)
     Hkv, D = int(cfg.num_kv_heads), int(cfg.head_dim)
     cache = SplitCache(
-        prefix_k=jnp.asarray(rng.randn(L, B, P, Hkv, D) * 0.1, jnp.bfloat16),
-        prefix_v=jnp.asarray(rng.randn(L, B, P, Hkv, D) * 0.1, jnp.bfloat16),
-        gen_k=jnp.asarray(rng.randn(L, BK, N, Hkv, D) * 0.1, jnp.bfloat16),
-        gen_v=jnp.asarray(rng.randn(L, BK, N, Hkv, D) * 0.1, jnp.bfloat16),
+        prefix_k=jnp.asarray(rng.randn(L, B, Hkv, P, D) * 0.1, jnp.bfloat16),
+        prefix_v=jnp.asarray(rng.randn(L, B, Hkv, P, D) * 0.1, jnp.bfloat16),
+        gen_k=jnp.asarray(rng.randn(BK, L, Hkv, N, D) * 0.1, jnp.bfloat16),
+        gen_v=jnp.asarray(rng.randn(BK, L, Hkv, N, D) * 0.1, jnp.bfloat16),
     )
     step = jnp.int32(N // 2)
     flat_idx = jnp.asarray(
@@ -126,7 +126,7 @@ def main():
         logits, new_cache = llm_decode_step_beam(
             p, cfg, chain(emb, acc), step, n_valid, prefix_mask, cch, K,
             modality=modality)
-        return jnp.sum(logits) * 1e-30 + jnp.sum(new_cache.gen_k[:, 0, 0, 0, 0].astype(jnp.float32)) * 1e-30
+        return jnp.sum(logits) * 1e-30 + jnp.sum(new_cache.gen_k[0, :, 0, 0, 0].astype(jnp.float32)) * 1e-30
 
     results["full"] = _timed(full_probe, (llm_params, token_embeds, cache))
     print("full done", results["full"], file=sys.stderr, flush=True)
@@ -156,24 +156,28 @@ def main():
 
     # --- attention only ----------------------------------------------------
     qw = jnp.asarray(rng.randn(H, cfg.num_heads * D) * 0.02, jnp.bfloat16)
-    gen_mask = jnp.arange(N) <= step
+    gen_mask = jnp.arange(N) < step
+    k_cur = jnp.asarray(rng.randn(BK, Hkv, D) * 0.1, jnp.bfloat16)
+    v_cur = jnp.asarray(rng.randn(BK, Hkv, D) * 0.1, jnp.bfloat16)
 
     def attn_probe(i, acc, emb, cch):
         x = chain(emb, acc)
         q0 = (x @ qw).reshape(BK, 1, cfg.num_heads, D)
 
         def body(carry, layer_cache):
-            pk, pv, gk, gv = layer_cache
+            pk, pv, l = layer_cache
+            gk = jax.lax.dynamic_index_in_dim(cch.gen_k, l, axis=1, keepdims=False)
+            gv = jax.lax.dynamic_index_in_dim(cch.gen_v, l, axis=1, keepdims=False)
             q = q0 + carry.reshape(BK, 1, cfg.num_heads, D)
             out = _merged_beam_attention(
                 cfg, q, pk.astype(q.dtype), pv.astype(q.dtype),
-                gk.astype(q.dtype), gv.astype(q.dtype), prefix_mask,
-                gen_mask, K)
+                gk.astype(q.dtype), gv.astype(q.dtype), k_cur, v_cur,
+                prefix_mask, gen_mask, K)
             return out.reshape(BK, -1) * 1e-3, None
 
         out, _ = jax.lax.scan(
             body, jnp.zeros((BK, cfg.num_heads * D), jnp.bfloat16),
-            (cch.prefix_k, cch.prefix_v, cch.gen_k, cch.gen_v))
+            (cch.prefix_k, cch.prefix_v, jnp.arange(cch.gen_k.shape[1], dtype=jnp.int32)))
         return jnp.sum(out.astype(jnp.float32)) * 1e-30
 
     results["attention"] = _timed(attn_probe, (token_embeds, cache))
@@ -191,7 +195,7 @@ def main():
     def reorder_probe(i, acc, cch):
         idx = (flat_idx + i) % BK  # loop-dependent so the gather can't hoist
         nc = cch.reorder(idx)
-        return jnp.sum(nc.gen_k[:, 0, 0, 0, 0].astype(jnp.float32)) * 1e-30
+        return jnp.sum(nc.gen_k[0, :, 0, 0, 0].astype(jnp.float32)) * 1e-30
 
     results["reorder"] = _timed(reorder_probe, (cache,))
     print("reorder done", results["reorder"], file=sys.stderr, flush=True)

@@ -36,13 +36,16 @@ import jax.numpy as jnp
 
 from ..config import LLMConfig
 from ..models.llm import (
+    AncSplitCache,
     KVCache,
     SplitCache,
     embed_tokens,
     llm_decode_step,
     llm_decode_step_beam,
+    llm_decode_step_beam_anc,
     llm_prefill,
     llm_prefill_masked,
+    update_ancestors,
 )
 
 NEG = -1e9
@@ -200,23 +203,56 @@ def beam_search(
     logits0, cache0, n_valid = _prefill(
         params, cfg, prefix_embeds, prefix_len, key_valid, cache0, modality
     )
-    cache = SplitCache.from_prefill(cache0, P, K, max_new)
     prefix_len_bk = jnp.repeat(n_valid, K, axis=0)
     prefix_mask = (
         key_valid if key_valid is not None
         else jnp.arange(P)[None] < n_valid[:, None]
     )
 
-    def step_fn(cache, new_tok, flat_idx, t):
-        cache = cache.reorder(flat_idx)
-        emb = embed_tokens(params, new_tok.reshape(B * K, 1), dtype)
-        step_logits, cache = llm_decode_step_beam(
-            params, cfg, emb, t, prefix_len_bk, prefix_mask, cache, K, modality
-        )
-        return step_logits.reshape(B, K, V), cache
+    import os
+
+    from ..ops.beam_attention import beam_attn_supported
+
+    # off-TPU the kernel self-selects interpret mode (no Mosaic lane
+    # constraints), so the route — including its no-reorder ancestor state
+    # plumbing — is CPU-testable end-to-end at any head_dim
+    from ..ops.attention import on_tpu
+
+    use_kernel = (os.environ.get("OMNI_BEAM_ATTN", "xla") == "kernel"
+                  and (beam_attn_supported(cfg.head_dim) or not on_tpu()))
+
+    if use_kernel:
+        # fused-kernel route: unpermuted gen cache + ancestor table, no
+        # per-step reorder gather (ops/beam_attention.py)
+        cache = AncSplitCache.from_prefill(cache0, P, K, max_new)
+        anc0 = jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, max_new))
+        state0 = (cache, jnp.asarray(anc0))
+
+        def step_fn(state, new_tok, flat_idx, t):
+            cache, anc = state
+            anc = update_ancestors(anc, flat_idx, t, K)
+            emb = embed_tokens(params, new_tok.reshape(B * K, 1), dtype)
+            step_logits, cache = llm_decode_step_beam_anc(
+                params, cfg, emb, t, prefix_len_bk, prefix_mask, cache, anc,
+                K, modality
+            )
+            return step_logits.reshape(B, K, V), (cache, anc)
+    else:
+        cache = SplitCache.from_prefill(cache0, P, K, max_new)
+        state0 = cache
+
+        def step_fn(cache, new_tok, flat_idx, t):
+            cache = cache.reorder(flat_idx)
+            emb = embed_tokens(params, new_tok.reshape(B * K, 1), dtype)
+            step_logits, cache = llm_decode_step_beam(
+                params, cfg, emb, t, prefix_len_bk, prefix_mask, cache, K,
+                modality
+            )
+            return step_logits.reshape(B, K, V), cache
 
     return beam_loop(
-        init_logits=logits0, state=cache, step_fn=step_fn,
+        init_logits=logits0, state=state0, step_fn=step_fn,
         num_beams=K, vocab_size=V, max_new=max_new, eos_id=eos_id,
         pad_id=pad_id, length_penalty=length_penalty,
         no_repeat_ngram_size=no_repeat_ngram_size,

@@ -469,63 +469,164 @@ def llm_prefill_masked(
 
 
 class SplitCache(NamedTuple):
-    """Beam-decode cache: shared prefix + per-beam generated tokens."""
+    """Beam-decode cache: shared prefix + per-beam generated tokens.
 
-    prefix_k: jax.Array  # (L, B, P, Hkv, D)
+    Layouts are chosen for the decode loop's memory traffic, not for
+    prefill convenience (the one-time transpose at `from_prefill` is noise):
+      - prefix (L, B, Hkv, P, D): per-(batch, head) keys are a contiguous
+        (P, D) block — the unit both XLA's batched attention matmul and a
+        per-head kernel DMA want.
+      - gen (B*K, L, Hkv, N, D): BEAM-LEADING, so the per-step parent
+        reorder is a leading-axis row gather over contiguous
+        L*Hkv*N*D-element rows. The same permutation on a (L, BK, ...)
+        layout gathers 16x smaller strided slices and measured 4.5x slower
+        on-chip (142 vs 634 GB/s, benchmarks/llm_step_breakdown.py).
+    """
+
+    prefix_k: jax.Array  # (L, B, Hkv, P, D)
     prefix_v: jax.Array
-    gen_k: jax.Array  # (L, B*K, N, Hkv, D)
+    gen_k: jax.Array  # (B*K, L, Hkv, N, D)
     gen_v: jax.Array
 
     @classmethod
     def from_prefill(cls, cache: "KVCache", prefix_pad: int, num_beams: int,
                      max_new: int) -> "SplitCache":
         L, B, S, H, D = cache.k.shape
-        zeros = jnp.zeros((L, B * num_beams, max_new, H, D), cache.k.dtype)
-        return cls(cache.k[:, :, :prefix_pad], cache.v[:, :, :prefix_pad],
-                   zeros, jnp.zeros_like(zeros))
+        zeros = jnp.zeros((B * num_beams, L, H, max_new, D), cache.k.dtype)
+        pk = cache.k[:, :, :prefix_pad].transpose(0, 1, 3, 2, 4)
+        pv = cache.v[:, :, :prefix_pad].transpose(0, 1, 3, 2, 4)
+        return cls(pk, pv, zeros, jnp.zeros_like(zeros))
 
     def reorder(self, flat_idx: jax.Array) -> "SplitCache":
-        """Permute only the generated region by beam parent index."""
+        """Permute only the generated region by beam parent index.
+
+        The gather runs on a flattened (BK, L*Hkv*N*D) view: XLA lowers a
+        2D leading-axis row gather to a near-memcpy copy (measured 634 GB/s)
+        while the semantically identical 5D gather lowers ~2.5x slower —
+        the reshape itself is free (row-major contiguous)."""
+        def rows(x):
+            return x.reshape(x.shape[0], -1)[flat_idx].reshape(x.shape)
+
         return SplitCache(self.prefix_k, self.prefix_v,
-                          self.gen_k[:, flat_idx], self.gen_v[:, flat_idx])
+                          rows(self.gen_k), rows(self.gen_v))
+
+    def append(self, k: jax.Array, v: jax.Array, step: jax.Array) -> "SplitCache":
+        """Write one generated token's K/V for ALL layers at once.
+
+        k/v: (L, B*K, Hkv, D) stacked per-layer projections (a scan output).
+        One dynamic_update_slice outside the layer scan replaces the
+        per-layer in-scan cache updates — the current token instead enters
+        attention as an explicit third block (`_merged_beam_attention`)."""
+        kw = k.transpose(1, 0, 2, 3)[:, :, :, None]  # (BK, L, Hkv, 1, D)
+        vw = v.transpose(1, 0, 2, 3)[:, :, :, None]
+        gk = jax.lax.dynamic_update_slice(
+            self.gen_k, kw.astype(self.gen_k.dtype), (0, 0, 0, step, 0))
+        gv = jax.lax.dynamic_update_slice(
+            self.gen_v, vw.astype(self.gen_v.dtype), (0, 0, 0, step, 0))
+        return SplitCache(self.prefix_k, self.prefix_v, gk, gv)
+
+
+class AncSplitCache(NamedTuple):
+    """Beam-decode cache for the fused-kernel route: NO physical reorder.
+
+    Generated K/V stay at the row that wrote them; the beam_search loop
+    maintains an ancestor table anc[b, k, n] = cache row holding beam k's
+    token for slot n, and `ops/beam_attention.py` masks the cross logits
+    with it. This removes the ~1 GB/step reorder gather the HF-style
+    `SplitCache.reorder` pays at serving shapes. Layouts give the kernel
+    one contiguous block per batch item: gen (L, B, Hkv, K, N, D), prefix
+    (L, B, Hkv, P, D)."""
+
+    prefix_k: jax.Array  # (L, B, Hkv, P, D)
+    prefix_v: jax.Array
+    gen_k: jax.Array  # (L, B, Hkv, K, N, D)
+    gen_v: jax.Array
+
+    @classmethod
+    def from_prefill(cls, cache: "KVCache", prefix_pad: int, num_beams: int,
+                     max_new: int) -> "AncSplitCache":
+        L, B, S, H, D = cache.k.shape
+        zeros = jnp.zeros((L, B, H, num_beams, max_new, D), cache.k.dtype)
+        pk = cache.k[:, :, :prefix_pad].transpose(0, 1, 3, 2, 4)
+        pv = cache.v[:, :, :prefix_pad].transpose(0, 1, 3, 2, 4)
+        return cls(pk, pv, zeros, jnp.zeros_like(zeros))
+
+    def append(self, k: jax.Array, v: jax.Array, step: jax.Array,
+               num_beams: int) -> "AncSplitCache":
+        """k/v: (L, B*K, Hkv, D) stacked per-layer projections."""
+        L, BK, Hkv, D = k.shape
+        K = num_beams
+        kw = k.reshape(L, BK // K, K, Hkv, D).transpose(0, 1, 3, 2, 4)
+        vw = v.reshape(L, BK // K, K, Hkv, D).transpose(0, 1, 3, 2, 4)
+        gk = jax.lax.dynamic_update_slice(
+            self.gen_k, kw[:, :, :, :, None].astype(self.gen_k.dtype),
+            (0, 0, 0, 0, step, 0))
+        gv = jax.lax.dynamic_update_slice(
+            self.gen_v, vw[:, :, :, :, None].astype(self.gen_v.dtype),
+            (0, 0, 0, 0, step, 0))
+        return AncSplitCache(self.prefix_k, self.prefix_v, gk, gv)
+
+
+def update_ancestors(anc: jax.Array, flat_idx: jax.Array,
+                     step: jax.Array, num_beams: int) -> jax.Array:
+    """Advance the (B, K, N) ancestor table by one selection round: beam
+    slot k inherits its parent's chain for slots < step and owns row k at
+    slot == step (where this step's K/V will be written)."""
+    B, K, N = anc.shape
+    parent = flat_idx.reshape(B, K) - (jnp.arange(B) * K)[:, None]
+    anc = jnp.take_along_axis(anc, parent[:, :, None], axis=1)
+    rows = jnp.broadcast_to(jnp.arange(K, dtype=anc.dtype)[None, :, None],
+                            (B, K, 1))
+    return jax.lax.dynamic_update_slice(anc, rows, (0, 0, step))
 
 
 def _merged_beam_attention(
     cfg: LLMConfig,
     q: jax.Array,  # (B*K, 1, Hq, D)
-    pk: jax.Array,  # (B, P, Hkv, D) shared prefix keys
+    pk: jax.Array,  # (B, Hkv, P, D) shared prefix keys
     pv: jax.Array,
-    gk: jax.Array,  # (B*K, N, Hkv, D) per-beam generated keys
+    gk: jax.Array,  # (B*K, Hkv, N, D) per-beam generated keys
     gv: jax.Array,
+    k_cur: jax.Array,  # (B*K, Hkv, D) — this step's key (not yet in cache)
+    v_cur: jax.Array,
     prefix_mask: jax.Array,  # (B, P) bool
-    gen_mask: jax.Array,  # (N,) bool — slots <= step
+    gen_mask: jax.Array,  # (N,) bool — slots < step (strictly before now)
     num_beams: int,
 ) -> jax.Array:
-    """Exact attention over [shared prefix | per-beam generated] without
-    materialising the prefix per beam: two logit blocks merged through a
-    joint softmax in f32."""
+    """Exact attention over [shared prefix | per-beam generated | current
+    token] without materialising the prefix per beam: three logit blocks
+    merged through a joint softmax in f32. The current token rides its own
+    rank-1 block so the cache write can happen ONCE per step outside the
+    layer scan (`SplitCache.append`) instead of per layer inside it."""
     BK, _, Hq, D = q.shape
     B = BK // num_beams
     K = num_beams
-    Hkv = pk.shape[2]
+    Hkv = pk.shape[1]
     G = Hq // Hkv
     scale = jnp.float32(D ** -0.5)
 
     qg = q.reshape(B, K, Hkv, G, D)
-    lp = jnp.einsum("bkhgd,bphd->bkhgp", qg, pk, preferred_element_type=jnp.float32)
+    lp = jnp.einsum("bkhgd,bhpd->bkhgp", qg, pk, preferred_element_type=jnp.float32)
     lp = lp * scale + jnp.where(prefix_mask, 0.0, NEG_INF)[:, None, None, None, :]
     qg2 = q.reshape(BK, Hkv, G, D)
-    lg = jnp.einsum("khgd,knhd->khgn", qg2, gk, preferred_element_type=jnp.float32)
+    lg = jnp.einsum("khgd,khnd->khgn", qg2, gk, preferred_element_type=jnp.float32)
     lg = (lg * scale).reshape(B, K, Hkv, G, -1)
     lg = lg + jnp.where(gen_mask, 0.0, NEG_INF)[None, None, None, None, :]
+    lc = jnp.einsum("khgd,khd->khg", qg2, k_cur,
+                    preferred_element_type=jnp.float32)
+    lc = (lc * scale).reshape(B, K, Hkv, G)[..., None]  # (B,K,Hkv,G,1)
 
-    m = jnp.maximum(jnp.max(lp, axis=-1), jnp.max(lg, axis=-1))[..., None]
-    ep, eg = jnp.exp(lp - m), jnp.exp(lg - m)
-    denom = jnp.sum(ep, axis=-1) + jnp.sum(eg, axis=-1)  # (B,K,Hkv,G)
-    op = jnp.einsum("bkhgp,bphd->bkhgd", ep.astype(pv.dtype), pv)
-    og = jnp.einsum("khgn,knhd->khgd",
+    m = jnp.maximum(jnp.maximum(jnp.max(lp, axis=-1), jnp.max(lg, axis=-1)),
+                    lc[..., 0])[..., None]
+    ep, eg, ec = jnp.exp(lp - m), jnp.exp(lg - m), jnp.exp(lc - m)
+    denom = (jnp.sum(ep, axis=-1) + jnp.sum(eg, axis=-1)
+             + ec[..., 0])  # (B,K,Hkv,G)
+    op = jnp.einsum("bkhgp,bhpd->bkhgd", ep.astype(pv.dtype), pv)
+    og = jnp.einsum("khgn,khnd->khgd",
                     eg.reshape(BK, Hkv, G, -1).astype(gv.dtype), gv).reshape(B, K, Hkv, G, D)
-    out = (op + og) / denom[..., None].astype(pv.dtype)
+    oc = (ec.reshape(BK, Hkv, G, 1).astype(v_cur.dtype)
+          * v_cur[:, :, None, :]).reshape(B, K, Hkv, G, D)
+    out = (op + og + oc) / denom[..., None].astype(pv.dtype)
     return out.reshape(BK, 1, Hq, D)
 
 
@@ -540,12 +641,69 @@ def llm_decode_step_beam(
     num_beams: int,
     modality: Optional[str] = None,
 ) -> Tuple[jax.Array, SplitCache]:
-    """Beam decode step on the split cache. Returns ((B*K, V), cache)."""
+    """Beam decode step on the split cache (XLA attention + physical
+    reorder route). Returns ((B*K, V), cache)."""
+    BK = token_embeds.shape[0]
+    L = cache.gen_k.shape[1]
+    positions = (n_valid + step)[:, None].astype(jnp.int32)
+    cos, sin = rope_cos_sin(cfg, positions)
+    N = cache.gen_k.shape[3]
+    gen_mask = jnp.arange(N) < step  # current token is its own block
+
+    def body(x, layer_and_cache):
+        layer, pk, pv, l = layer_and_cache
+        h = rms_norm(x, layer["input_norm"]["scale"], cfg.rms_norm_eps)
+        attn = layer["attn"]
+        q, k, v = _qkv_with_lora(layer, cfg, h, modality)
+        q = q.reshape(BK, 1, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(BK, 1, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(BK, 1, cfg.num_kv_heads, cfg.head_dim)
+        q, k = apply_rope(q, k, cos, sin)
+        k_cur = k[:, 0]  # (BK, Hkv, D)
+        v_cur = v[:, 0]
+        gk = jax.lax.dynamic_index_in_dim(cache.gen_k, l, axis=1, keepdims=False)
+        gv = jax.lax.dynamic_index_in_dim(cache.gen_v, l, axis=1, keepdims=False)
+        out = _merged_beam_attention(
+            cfg, q, pk.astype(q.dtype), pv.astype(q.dtype), gk.astype(q.dtype),
+            gv.astype(q.dtype), k_cur, v_cur, prefix_mask, gen_mask,
+            num_beams,
+        )
+        x = x + linear(out.reshape(BK, 1, cfg.q_dim), attn["o"])
+        h2 = rms_norm(x, layer["post_attn_norm"]["scale"], cfg.rms_norm_eps)
+        x = x + _mlp_block(layer, h2)
+        return x, (k_cur, v_cur)
+
+    x, (ks, vs) = jax.lax.scan(
+        body, token_embeds,
+        (params["layers"], cache.prefix_k, cache.prefix_v,
+         jnp.arange(L, dtype=jnp.int32)),
+    )
+    logits = lm_head(params, cfg, x)[:, 0]
+    return logits, cache.append(ks, vs, step)
+
+
+def llm_decode_step_beam_anc(
+    params: Params,
+    cfg: LLMConfig,
+    token_embeds: jax.Array,  # (B*K, 1, H)
+    step: jax.Array,
+    n_valid: jax.Array,  # (B*K,) valid prefix token counts (positions)
+    prefix_mask: jax.Array,  # (B, P) bool — valid prefix slots
+    cache: AncSplitCache,
+    anc: jax.Array,  # (B, K, N) int32 — already advanced for this step
+    num_beams: int,
+    modality: Optional[str] = None,
+) -> Tuple[jax.Array, AncSplitCache]:
+    """Beam decode step on the no-reorder ancestor cache: attention runs in
+    the fused Pallas kernel (`ops/beam_attention.py`), the gen cache is
+    scanned per layer (L-leading xs — legal again because it is never
+    permuted), and the step's K/V land via one post-scan `append`."""
+    from ..ops.beam_attention import beam_decode_attention
+
     BK = token_embeds.shape[0]
     positions = (n_valid + step)[:, None].astype(jnp.int32)
     cos, sin = rope_cos_sin(cfg, positions)
-    N = cache.gen_k.shape[2]
-    gen_mask = jnp.arange(N) <= step
+    prefix_bias = jnp.where(prefix_mask, 0.0, NEG_INF).astype(jnp.float32)
 
     def body(x, layer_and_cache):
         layer, pk, pv, gk, gv = layer_and_cache
@@ -556,23 +714,25 @@ def llm_decode_step_beam(
         k = k.reshape(BK, 1, cfg.num_kv_heads, cfg.head_dim)
         v = v.reshape(BK, 1, cfg.num_kv_heads, cfg.head_dim)
         q, k = apply_rope(q, k, cos, sin)
-        gk = jax.lax.dynamic_update_slice(gk, k.astype(gk.dtype), (0, step, 0, 0))
-        gv = jax.lax.dynamic_update_slice(gv, v.astype(gv.dtype), (0, step, 0, 0))
-        out = _merged_beam_attention(
-            cfg, q, pk.astype(q.dtype), pv.astype(q.dtype), gk.astype(q.dtype),
-            gv.astype(q.dtype), prefix_mask, gen_mask, num_beams,
+        k_cur = k[:, 0]  # (BK, Hkv, D)
+        v_cur = v[:, 0]
+        out = beam_decode_attention(
+            q, pk.astype(q.dtype), pv.astype(q.dtype), gk.astype(q.dtype),
+            gv.astype(q.dtype), k_cur, v_cur, prefix_bias, anc, step,
+            num_beams,
         )
         x = x + linear(out.reshape(BK, 1, cfg.q_dim), attn["o"])
         h2 = rms_norm(x, layer["post_attn_norm"]["scale"], cfg.rms_norm_eps)
         x = x + _mlp_block(layer, h2)
-        return x, (gk, gv)
+        return x, (k_cur, v_cur)
 
-    x, (new_gk, new_gv) = jax.lax.scan(
+    x, (ks, vs) = jax.lax.scan(
         body, token_embeds,
-        (params["layers"], cache.prefix_k, cache.prefix_v, cache.gen_k, cache.gen_v),
+        (params["layers"], cache.prefix_k, cache.prefix_v,
+         cache.gen_k, cache.gen_v),
     )
     logits = lm_head(params, cfg, x)[:, 0]
-    return logits, SplitCache(cache.prefix_k, cache.prefix_v, new_gk, new_gv)
+    return logits, cache.append(ks, vs, step, num_beams)
 
 
 def llm_decode_step(
