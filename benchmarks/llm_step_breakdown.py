@@ -40,7 +40,10 @@ HBM_GBPS = 819.0  # v5e
 PEAK_TFLOPS = 197.0  # bf16
 
 
-def _timed(fn, args, n=20):
+def _timed(fn, args, n=200):
+    # n must be large: the dev relay adds a ~32 ms round-trip per fetch, so
+    # ms/step carries a +32/n additive floor (n=20 inflated every stage by
+    # ~1.6 ms and made a copy-only pallas kernel look like a 2 ms launch)
     @jax.jit
     def run(*a):
         def body(i, acc):

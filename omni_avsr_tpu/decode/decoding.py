@@ -185,6 +185,7 @@ def beam_search(
     no_repeat_ngram_size: int = 0,
     key_valid: Optional[jax.Array] = None,  # (B, P) gap-tolerant validity
     cache_dtype=jnp.bfloat16,
+    attn_route: Optional[str] = None,  # "kernel"/"xla"; None = platform/env
 ) -> jax.Array:
     """Returns (B, max_new) best-hypothesis ids, pad_id after the content.
 
@@ -213,12 +214,17 @@ def beam_search(
 
     from ..ops.beam_attention import beam_attn_supported
 
-    # off-TPU the kernel self-selects interpret mode (no Mosaic lane
-    # constraints), so the route — including its no-reorder ancestor state
-    # plumbing — is CPU-testable end-to-end at any head_dim
+    # Default on TPU since round 3: 77.9x headline vs 72.0 and 257.9 vs
+    # 203.4 serving audio-s/s (docs/ROUND3_NOTES.md). Off-TPU the default
+    # stays the XLA route (interpret-mode pallas is slow), but setting
+    # OMNI_BEAM_ATTN=kernel forces it — the kernel self-selects interpret
+    # mode there, so the route (ancestor state plumbing included) is
+    # CPU-testable end-to-end at any head_dim.
     from ..ops.attention import on_tpu
 
-    use_kernel = (os.environ.get("OMNI_BEAM_ATTN", "xla") == "kernel"
+    choice = attn_route or os.environ.get(
+        "OMNI_BEAM_ATTN", "kernel" if on_tpu() else "xla")
+    use_kernel = (choice == "kernel"
                   and (beam_attn_supported(cfg.head_dim) or not on_tpu()))
 
     if use_kernel:

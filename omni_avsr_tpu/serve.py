@@ -51,6 +51,10 @@ class Transcriber:
             self.params = quantize_decode_params(self.params)
         self.mesh = mesh
         if mesh is not None:
+            # GSPMD cannot partition the fused beam-attention pallas call;
+            # pin multi-chip serving to the XLA attention route
+            self.engine.decode_attn_route = "xla"
+        if mesh is not None:
             # Multi-chip serving: tp-shard the LLM matmuls (+ encoder FFNs)
             # over the mesh and let GSPMD insert the collectives inside the
             # same jitted decode programs. Batch stays unsharded — model

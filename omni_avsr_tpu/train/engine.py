@@ -88,6 +88,9 @@ class OmniEngine:
                 static_argnames=("rate_a", "rate_v", "trim_len"),
             )
         self._decode_fns: Dict = {}
+        # None = route by platform/env (decode/decoding.py); "xla" pins the
+        # partitionable attention for mesh-sharded serving (serve.py)
+        self.decode_attn_route: Optional[str] = None
         # baseline (Llama-AVSR / Llama-MTSK) single-task steps, jitted lazily
         self._single_train = jax.jit(
             self._make_single_step(is_train=True),
@@ -255,7 +258,8 @@ class OmniEngine:
     # ----------------------------------------------------------------- decode
 
     def _decode_fn(self, modality: str, rate_a, rate_v, trim_len, num_beams: int, max_new: int):
-        key = (modality, rate_a, rate_v, trim_len, num_beams, max_new)
+        key = (modality, rate_a, rate_v, trim_len, num_beams, max_new,
+               self.decode_attn_route)
         if key in self._decode_fns:
             return self._decode_fns[key]
         model, tok, cfg = self.model, self.tok, self.cfg
@@ -283,7 +287,7 @@ class OmniEngine:
                 params["llm"], cfg.llm, prefix,
                 num_beams=num_beams, max_new=max_new,
                 eos_id=tok.eos_id, pad_id=tok.pad_id, modality=lora_mod,
-                key_valid=key_valid,
+                key_valid=key_valid, attn_route=self.decode_attn_route,
             )
 
         self._decode_fns[key] = fn
