@@ -121,6 +121,7 @@ def greedy_decode(
     modality: Optional[str] = None,
     key_valid: Optional[jax.Array] = None,  # (B, P) gap-tolerant validity
     cache_dtype=jnp.bfloat16,
+    attn_route: Optional[str] = None,  # "kernel"/"xla"; None = platform/env
 ) -> jax.Array:
     """Returns (B, max_new) generated ids, pad_id after EOS.
 
@@ -130,13 +131,50 @@ def greedy_decode(
     average well under the 32-token bound, so the sequential step count
     (the latency-dominant part of RTF) tracks the actual transcript length
     at chunk granularity, while the full-length case keeps scan performance.
+
+    Uses the beam split-cache machinery with K=1: the original
+    `llm_decode_step` path re-emitted each layer's FULL (B, S, H, D) cache
+    slice as a scan output to change one slot, which at serving shapes put
+    the greedy step at 15% of its weight-stream roofline (10.2 ms vs 1.56
+    SoL at batch 64 — benchmarks/decode_breakdown.py); the split cache
+    writes one post-scan slot and keeps the read-only prefix as scan xs.
     """
     B, P, D = prefix_embeds.shape
-    cache = KVCache.create(cfg, B, P + max_new, dtype=cache_dtype)
-    logits, cache, n_valid = _prefill(
-        params, cfg, prefix_embeds, prefix_len, key_valid, cache, modality
+    cache0 = KVCache.create(cfg, B, P, dtype=cache_dtype)
+    logits, cache0, n_valid = _prefill(
+        params, cfg, prefix_embeds, prefix_len, key_valid, cache0, modality
     )
     tokens0 = jnp.full((B, max_new), pad_id, jnp.int32)
+    prefix_mask = (
+        key_valid if key_valid is not None
+        else jnp.arange(P)[None] < n_valid[:, None]
+    )
+
+    import os
+
+    from ..ops.attention import on_tpu
+    from ..ops.beam_attention import beam_attn_supported
+
+    choice = attn_route or os.environ.get(
+        "OMNI_BEAM_ATTN", "kernel" if on_tpu() else "xla")
+    use_kernel = (choice == "kernel"
+                  and (beam_attn_supported(cfg.head_dim) or not on_tpu()))
+
+    if use_kernel:
+        cache = AncSplitCache.from_prefill(cache0, P, 1, max_new)
+        anc = jnp.zeros((B, 1, max_new), jnp.int32)  # K=1: row 0 always
+
+        def decode_step(cache, emb, t):
+            return llm_decode_step_beam_anc(
+                params, cfg, emb, t, n_valid, prefix_mask, cache, anc, 1,
+                modality)
+    else:
+        cache = SplitCache.from_prefill(cache0, P, 1, max_new)
+
+        def decode_step(cache, emb, t):
+            # K=1: no parents, no reorder
+            return llm_decode_step_beam(
+                params, cfg, emb, t, n_valid, prefix_mask, cache, 1, modality)
 
     CHUNK = 8 if max_new % 8 == 0 else max_new
     n_chunks = max_new // CHUNK
@@ -148,9 +186,7 @@ def greedy_decode(
         done = done | (tok == eos_id)
         tokens = jax.lax.dynamic_update_slice(tokens, tok[:, None], (0, t))
         emb = embed_tokens(params, tok[:, None], prefix_embeds.dtype)
-        logits, cache = llm_decode_step(
-            params, cfg, emb, t, n_valid, P, cache, modality, key_valid=key_valid
-        )
+        logits, cache = decode_step(cache, emb, t)
         return (cache, logits, done, tokens), None
 
     def cond(state):

@@ -97,7 +97,14 @@ def _kernel(
         gk = gk_ref[0, h].reshape(K * N, -1)  # adjacent-dim merge: free
         lg = dots(q, gk, (((1,), (1,)), ((), ()))) * scale
         lg = jnp.where(gmask, lg, NEG_INF)
-        lc = dots(q, kc_ref[0, h], (((1,), (1,)), ((), ()))) * scale
+        # K == 1 (greedy reuses this kernel): the (KGp, 1) rank-1 dot trips
+        # Mosaic's vector.broadcast verifier — use an elementwise reduce
+        if K == 1:
+            lc = jnp.sum(
+                q.astype(jnp.float32) * kc_ref[0, h].astype(jnp.float32),
+                axis=1, keepdims=True) * scale
+        else:
+            lc = dots(q, kc_ref[0, h], (((1,), (1,)), ((), ()))) * scale
         lc = jnp.where(cmask, lc, NEG_INF)
 
         m = jnp.maximum(
@@ -113,7 +120,10 @@ def _kernel(
         acc = dots(ep.astype(vdt), pv_ref[0, h], (((1,), (0,)), ((), ())))
         acc += dots(eg.astype(vdt), gv_ref[0, h].reshape(K * N, -1),
                     (((1,), (0,)), ((), ())))
-        acc += dots(ec.astype(vdt), vc_ref[0, h], (((1,), (0,)), ((), ())))
+        if K == 1:  # rank-1 outer product, same Mosaic verifier issue
+            acc += ec.astype(jnp.float32) * vc_ref[0, h].astype(jnp.float32)
+        else:
+            acc += dots(ec.astype(vdt), vc_ref[0, h], (((1,), (0,)), ((), ())))
         o_ref[0, h] = (acc / denom).astype(o_ref.dtype)
 
 

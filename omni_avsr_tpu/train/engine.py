@@ -282,6 +282,7 @@ class OmniEngine:
                     params["llm"], cfg.llm, prefix,
                     max_new=max_new, eos_id=tok.eos_id, pad_id=tok.pad_id,
                     modality=lora_mod, key_valid=key_valid,
+                    attn_route=self.decode_attn_route,
                 )
             return beam_search(
                 params["llm"], cfg.llm, prefix,

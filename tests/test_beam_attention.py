@@ -59,6 +59,7 @@ def _reference(cfg, q, pk, pv, gk, gv, kc, vc, prefix_mask, anc, step, K):
         (1, 15, 32, 8, 64, 48, 32, 0),  # flagship-ish geometry, step 0
         (2, 2, 4, 4, 64, 16, 8, 7),     # MHA, last slot live
         (1, 5, 10, 2, 64, 24, 16, 3),   # K*G=25 -> padded rows exercised
+        (3, 1, 8, 4, 64, 16, 8, 5),     # K=1: greedy reuses this kernel
     ],
 )
 def test_kernel_matches_xla_route(B, K, Hq, Hkv, D, P, N, step):
