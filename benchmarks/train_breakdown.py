@@ -72,14 +72,17 @@ def main():
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 
     model = _flagship(tiny=False)
+    cfg_over = {}
     if os.environ.get("OMNI_WHISPER_INPUT") == "bucket":
+        cfg_over["whisper_input_mode"] = "bucket"
+    if os.environ.get("OMNI_FUSED3", "") not in ("", "0"):
+        cfg_over["fused_task_forward"] = True
+    if cfg_over:
         import dataclasses
 
         from omni_avsr_tpu.models.omni import OmniAVSR
 
-        model = OmniAVSR(dataclasses.replace(model.cfg,
-                                             whisper_input_mode="bucket"),
-                         model.tok)
+        model = OmniAVSR(dataclasses.replace(model.cfg, **cfg_over), model.tok)
     params = model.init_params(jax.random.PRNGKey(0))
     engine = OmniEngine(model, params, TrainConfig(lr=1e-3), 100.0, seed=0)
     batch = {k: jnp.asarray(v) for k, v in

@@ -219,10 +219,10 @@ def avhubert_encoder(
             y = jnp.where(u > cfg.layerdrop, y, h)  # stochastic layer skip
         return y, None
 
-    from .llm import _remat_policy
+    from .llm import maybe_remat
 
     x, _ = jax.lax.scan(
-        jax.checkpoint(body, prevent_cse=False, policy=_remat_policy()),
+        maybe_remat(body),
         x,
         (params["layers"], layer_keys, drop_u),
     )

@@ -302,27 +302,30 @@ def llm_backbone(
         return y, None
 
     if remat:
-        body = jax.checkpoint(body, prevent_cse=False,
-                              policy=_remat_policy())
+        body = maybe_remat(body)
     x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
     return x
 
 
-def _remat_policy():
-    """Rematerialisation policy for the per-layer checkpoint.
+def maybe_remat(body):
+    """Per-layer rematerialisation wrap, mode via OMNI_REMAT:
 
-    Default saves MXU outputs (matmul results) and recomputes only the cheap
-    elementwise/softmax work in the backward — at AVSR sequence lengths the
-    activations are small (B4 x T<=640) so HBM easily holds them, and this
-    avoids re-running every matmul. OMNI_REMAT=full restores classic
-    everything-recomputed remat (lowest memory) for long-sequence or
-    memory-tight runs."""
+      dots (default) — save MXU outputs (matmul results), recompute only the
+        cheap elementwise/softmax work in the backward.
+      off  — no checkpoint at all: the scan saves every intermediate. At
+        AVSR sequence lengths the activations are small (a few GB even at
+        batch 12), and skipping the elementwise recompute measurably speeds
+        the backward (benchmarks/bwd_breakdown.py).
+      full — classic everything-recomputed remat (lowest memory) for
+        long-sequence or memory-tight runs."""
     import os
 
     mode = os.environ.get("OMNI_REMAT", "dots")
-    if mode == "full":
-        return None
-    return jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
+    if mode == "off":
+        return body
+    policy = (None if mode == "full"
+              else jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
+    return jax.checkpoint(body, prevent_cse=False, policy=policy)
 
 
 def llm_logits(
@@ -341,20 +344,53 @@ def llm_logits(
     return lm_head(params, cfg, x)
 
 
+def token_ce_stats(
+    logits: jax.Array, targets: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-ROW (sum of -logp, valid-token count) where logits (B, N, V) align
+    1:1 with targets (B, N) — the shift has already been applied by the
+    caller. Targets == IGNORE_INDEX contribute exactly zero."""
+    logits = logits.astype(jnp.float32)
+    valid = targets != IGNORE_INDEX
+    safe = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    token_lp = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    total = jnp.sum(jnp.where(valid, -token_lp, 0.0), axis=1)
+    count = jnp.sum(valid, axis=1)
+    return total, count
+
+
 def causal_lm_token_stats(
     logits: jax.Array, labels: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-ROW (sum of -logp, valid-token count) for the HF CausalLM loss —
     lets callers form per-task means from a fused multi-task batch."""
-    shift_logits = logits[:, :-1].astype(jnp.float32)
-    shift_labels = labels[:, 1:]
-    valid = shift_labels != IGNORE_INDEX
-    safe_labels = jnp.where(valid, shift_labels, 0)
-    logp = jax.nn.log_softmax(shift_logits, axis=-1)
-    token_lp = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
-    total = jnp.sum(jnp.where(valid, -token_lp, 0.0), axis=1)
-    count = jnp.sum(valid, axis=1)
-    return total, count
+    return token_ce_stats(logits[:, :-1], labels[:, 1:])
+
+
+def llm_span_stats(
+    params: Params,
+    cfg: LLMConfig,
+    inputs_embeds: jax.Array,  # (B, T, H)
+    labels: jax.Array,  # (B, T)
+    span: Tuple[int, int],  # static [t0, t1): label-active logits positions
+    modality: Optional[str] = None,
+    remat: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Shifted-CE stats computed ONLY on the label-active span.
+
+    In the Omni sequence layout the multimodal prefix carries IGNORE_INDEX
+    labels (`modeling_OmniAVSR.py:373-387`), so ~85% of lm_head rows (and
+    their f32 softmax + backward dgrad against the 128k-vocab unembedding)
+    are provably-zero work. The backbone still runs the full sequence; only
+    positions [t0, t1) enter final-norm + lm_head + CE. Exact: CE over
+    IGNORE positions contributes 0 and lm_head is row-independent."""
+    B, T, _ = inputs_embeds.shape
+    t0, t1 = span
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    x = llm_backbone(params, cfg, inputs_embeds, positions, None, modality, remat)
+    logits = lm_head(params, cfg, x[:, t0:t1])
+    return token_ce_stats(logits, labels[:, t0 + 1 : t1 + 1])
 
 
 def causal_lm_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:

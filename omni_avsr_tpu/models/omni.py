@@ -36,7 +36,7 @@ from ..ops.audio_frontend import log_mel_spectrogram, whisper_token_len
 from ..ops.pooling import compress
 from .avhubert import avhubert_encode, init_avhubert
 from .common import Params
-from .llm import causal_lm_loss, embed_tokens, init_llm, llm_logits
+from .llm import embed_tokens, init_llm, llm_span_stats
 from .projector import init_matry_projectors, project
 from .whisper import init_whisper_encoder, whisper_encode
 
@@ -172,7 +172,10 @@ class OmniAVSR:
         av_parts: Tuple[jax.Array, ...],  # ordered audio/video feature blocks
         text_emb: jax.Array,  # (B, Tt, D)
         labels: Optional[jax.Array],  # (B, Tt) or None (inference)
-    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+    ) -> Tuple[jax.Array, Optional[jax.Array], Tuple[int, int]]:
+        """Returns (embeds, labels-with-IGNORE-prefix, span) where span is
+        the static [t0, t1) window of logits positions whose shifted targets
+        can be non-IGNORE — everything the CE loss needs (llm_span_stats)."""
         B = text_emb.shape[0]
         dtype = text_emb.dtype
         d = self._delim_embeds(params, B, dtype)
@@ -188,22 +191,29 @@ class OmniAVSR:
         prefix = jnp.concatenate(blocks, axis=1)
         P = prefix.shape[1]
 
+        Tt = text_emb.shape[1]
         if self.cfg.llm.family == "llama":
+            # layout [BOS | prefix(P) | text(Tt-1)]: the first real target is
+            # labels[:, 1] at sequence index P+1 => logits span [P, P+Tt-1)
+            span = (P, P + Tt - 1)
             embeds = jnp.concatenate([text_emb[:, :1], prefix, text_emb[:, 1:]], axis=1)
             if labels is None:
-                return embeds, None
+                return embeds, None, span
             lab = jnp.concatenate(
                 [labels[:, :1], jnp.full((B, P), IGNORE_INDEX, labels.dtype), labels[:, 1:]],
                 axis=1,
             )
         else:  # qwen: prefix first, no BOS
+            # layout [prefix(P) | text(Tt)]: first target labels[:, 0] at
+            # sequence index P => logits span [P-1, P+Tt-1)
+            span = (P - 1, P + Tt - 1)
             embeds = jnp.concatenate([prefix, text_emb], axis=1)
             if labels is None:
-                return embeds, None
+                return embeds, None, span
             lab = jnp.concatenate(
                 [jnp.full((B, P), IGNORE_INDEX, labels.dtype), labels], axis=1
             )
-        return embeds, lab
+        return embeds, lab, span
 
     # ----------------------------------------------------------- train/infer
 
@@ -240,10 +250,13 @@ class OmniAVSR:
         losses = {}
         for i, m in enumerate(MODALITIES):
             parts = {"audio": (a,), "video": (v,), "audiovisual": (a, v)}[m]
-            embeds, lab = self._assemble_task(params, m, parts, text_emb, labels)
+            embeds, lab, span = self._assemble_task(params, m, parts, text_emb, labels)
             lora_mod = m if task_specific else None
-            logits = llm_logits(params["llm"], cfg.llm, embeds, modality=lora_mod, remat=remat)
-            loss = causal_lm_loss(logits, lab)
+            total, count = llm_span_stats(
+                params["llm"], cfg.llm, embeds, lab, span,
+                modality=lora_mod, remat=remat,
+            )
+            loss = jnp.sum(total) / jnp.maximum(jnp.sum(count), 1)
             if cfg.matry_weights is not None:
                 loss = loss * cfg.matry_weights[i]
             losses[m] = loss
@@ -257,31 +270,41 @@ class OmniAVSR:
         Each task's sequence is right-padded to the longest (the AV task);
         under pure causal masking the padded tail can never influence valid
         positions and its labels are IGNORE_INDEX, so per-task losses are
-        EXACTLY the unfused ones (pinned by tests/test_omni.py) — but the
-        decoder runs one (3B, T_max) program instead of three small ones,
-        which tiles far better on the MXU at AVSR batch sizes."""
-        from .llm import FUSED3, causal_lm_token_stats
+        EXACTLY the unfused ones (pinned by tests/test_omni.py) — the
+        decoder runs one (3B, T_max) program instead of three small ones.
+        Measured slower than the unfused route both before (r2) and after
+        (r3) the label-span lm_head slice: the backbone is compute-bound at
+        AVSR shapes, so the 1x-vs-3x weight stream doesn't pay for the
+        pad-token FLOPs (docs/ROUND3_NOTES.md). Kept as an option."""
+        from .llm import FUSED3, llm_backbone, lm_head, token_ce_stats
 
         cfg = self.cfg
         B = text_emb.shape[0]
-        embeds3, labels3 = [], []
+        embeds3, labels3, spans3 = [], [], []
         for m in MODALITIES:
             parts = {"audio": (a,), "video": (v,), "audiovisual": (a, v)}[m]
-            e, lab = self._assemble_task(params, m, parts, text_emb, labels)
+            e, lab, span = self._assemble_task(params, m, parts, text_emb, labels)
             embeds3.append(e)
             labels3.append(lab)
+            spans3.append(span)
         T_max = max(e.shape[1] for e in embeds3)
         embeds3 = [jnp.pad(e, ((0, 0), (0, T_max - e.shape[1]), (0, 0)))
                    for e in embeds3]
-        labels3 = [jnp.pad(l, ((0, 0), (0, T_max - l.shape[1])),
-                           constant_values=IGNORE_INDEX) for l in labels3]
         stacked = jnp.concatenate(embeds3, axis=0)
-        lab3 = jnp.concatenate(labels3, axis=0)
 
-        logits = llm_logits(params["llm"], cfg.llm, stacked,
-                            modality=FUSED3 if task_specific else None,
-                            remat=remat)
-        total, count = causal_lm_token_stats(logits, lab3)
+        positions = jnp.broadcast_to(
+            jnp.arange(T_max, dtype=jnp.int32)[None], (3 * B, T_max))
+        x = llm_backbone(params["llm"], cfg.llm, stacked, positions, None,
+                         FUSED3 if task_specific else None, remat)
+        # each task's label-active span has the same width (the shared text
+        # length) at a task-specific offset — slice per task block, then one
+        # lm_head over the concatenated active rows (llm_span_stats, fused)
+        xs, tgt3 = [], []
+        for i, (t0, t1) in enumerate(spans3):
+            xs.append(jax.lax.slice_in_dim(x, i * B, (i + 1) * B)[:, t0:t1])
+            tgt3.append(labels3[i][:, t0 + 1 : t1 + 1])
+        logits = lm_head(params["llm"], cfg.llm, jnp.concatenate(xs, axis=0))
+        total, count = token_ce_stats(logits, jnp.concatenate(tgt3, axis=0))
         losses = {}
         for i, m in enumerate(MODALITIES):
             t = jnp.sum(jax.lax.slice_in_dim(total, i * B, (i + 1) * B))
@@ -322,10 +345,12 @@ class OmniAVSR:
             parts.append(
                 self.encode_video(params, batch["video"], rate_video, train_mode).astype(dtype)
             )
-        embeds, lab = self._assemble_task(params, modality, tuple(parts), text_emb, labels)
+        embeds, lab, span = self._assemble_task(params, modality, tuple(parts), text_emb, labels)
         lora_mod = modality if (cfg.llm.lora and cfg.llm.lora.task_specific) else None
-        logits = llm_logits(params["llm"], cfg.llm, embeds, modality=lora_mod, remat=remat)
-        return causal_lm_loss(logits, lab)
+        total, count = llm_span_stats(
+            params["llm"], cfg.llm, embeds, lab, span, modality=lora_mod, remat=remat
+        )
+        return jnp.sum(total) / jnp.maximum(jnp.sum(count), 1)
 
     def infer_prefix(
         self,
@@ -357,7 +382,7 @@ class OmniAVSR:
             text_emb = bos
         else:
             text_emb = jnp.zeros((B, 0, cfg.llm.hidden_size), dtype)
-        embeds, _ = self._assemble_task(params, modality, tuple(parts), text_emb, None)
+        embeds, _, _ = self._assemble_task(params, modality, tuple(parts), text_emb, None)
         return embeds
 
     def infer_prefix_masked(

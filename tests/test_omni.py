@@ -229,3 +229,50 @@ def test_fused_task_forward_grads_match(model, params):
         np.testing.assert_allclose(
             np.asarray(lb[m]["down_q"]["w"]), np.asarray(la[m]["down_q"]["w"]),
             rtol=5e-3, atol=5e-4)
+
+
+def test_span_loss_matches_full_sequence(model, params):
+    """The label-span loss (lm_head + CE over only the text window) must
+    equal the full-sequence computation exactly: IGNORE-labelled positions
+    contribute zero to the CE sum and lm_head is row-independent."""
+    from omni_avsr_tpu.models.llm import embed_tokens, llm_loss
+
+    batch = make_batch(model)
+    losses = model.train_losses(
+        params, batch, rate_audio=4, rate_video=2, audio_trim_len=50,
+        train_mode=False, remat=False,
+    )
+    dtype = jnp.bfloat16
+    text_emb = embed_tokens(params["llm"], batch["tokens"], dtype)
+    a = model.encode_audio(params, batch["audio"], batch["audio_len"], 4, 50).astype(dtype)
+    v = model.encode_video(params, batch["video"], 2, train_mode=False).astype(dtype)
+    for i, m in enumerate(("audio", "video", "audiovisual")):
+        parts = {"audio": (a,), "video": (v,), "audiovisual": (a, v)}[m]
+        embeds, lab, _ = model._assemble_task(params, m, parts, text_emb, batch["labels"])
+        full = llm_loss(params["llm"], model.cfg.llm, embeds, lab, modality=m, remat=False)
+        np.testing.assert_allclose(
+            float(losses[m]), float(full) * model.cfg.matry_weights[i], rtol=1e-6)
+
+
+def test_span_loss_matches_full_sequence_qwen():
+    """Same exactness for the Qwen layout (prefix-first, no BOS: the span
+    starts one position earlier)."""
+    from omni_avsr_tpu.models.llm import embed_tokens, llm_loss
+
+    model = tiny_omni("qwen")
+    params = model.init_params(jax.random.PRNGKey(1), frozen_dtype=jnp.float32)
+    batch = make_batch(model)
+    losses = model.train_losses(
+        params, batch, rate_audio=4, rate_video=2, audio_trim_len=50,
+        train_mode=False, remat=False,
+    )
+    dtype = jnp.bfloat16
+    text_emb = embed_tokens(params["llm"], batch["tokens"], dtype)
+    a = model.encode_audio(params, batch["audio"], batch["audio_len"], 4, 50).astype(dtype)
+    v = model.encode_video(params, batch["video"], 2, train_mode=False).astype(dtype)
+    for i, m in enumerate(("audio", "video", "audiovisual")):
+        parts = {"audio": (a,), "video": (v,), "audiovisual": (a, v)}[m]
+        embeds, lab, _ = model._assemble_task(params, m, parts, text_emb, batch["labels"])
+        full = llm_loss(params["llm"], model.cfg.llm, embeds, lab, modality=m, remat=False)
+        np.testing.assert_allclose(
+            float(losses[m]), float(full) * model.cfg.matry_weights[i], rtol=1e-6)
