@@ -82,11 +82,27 @@ def main():
         return (jnp.sum(scores2k) * 1e-30
                 + jnp.sum(idx2k).astype(jnp.float32) * 1e-30)
 
+    def sel_kernel(i, acc, x, cum):
+        from omni_avsr_tpu.ops.select_topk import row_stats_chunkmax
+
+        x = chain(x, acc)
+        cm, mx_r, se = row_stats_chunkmax(x.reshape(B * K, V))
+        mx = mx_r.reshape(B, K, 1)
+        lse = jnp.log(se).reshape(B, K, 1)
+        vals, vidx = topk_chunked(x, 2 * K, chunk_maxima=cm.reshape(B, K, -1))
+        cand_sel = cum[:, :, None] + ((vals - mx) - lse)
+        scores2k, sel = jax.lax.top_k(cand_sel.reshape(B, K * 2 * K), 2 * K)
+        v_sel = jnp.take_along_axis(vidx.reshape(B, K * 2 * K), sel, axis=1)
+        idx2k = (sel // (2 * K)) * V + v_sel
+        return (jnp.sum(scores2k) * 1e-30
+                + jnp.sum(idx2k).astype(jnp.float32) * 1e-30)
+
     res = {
         "stats": _timed(stats, (logits, cum)),
         "chunkmax_topkC": _timed(chunkmax, (logits, cum)),
         "topk_chunked_full": _timed(finish, (logits, cum)),
         "sel_full": _timed(sel_full, (logits, cum)),
+        "sel_kernel": _timed(sel_kernel, (logits, cum)),
     }
     bytes_one_pass = B * K * V * 4
     res["one_pass_ms_at_819GBps"] = bytes_one_pass / 819e9 * 1e3

@@ -60,7 +60,8 @@ import os as _os
 _SELECT_MODE = _os.environ.get("OMNI_BEAM_SELECT", "fused")
 
 
-def topk_chunked(x: jax.Array, k: int, chunk: int = 128):
+def topk_chunked(x: jax.Array, k: int, chunk: int = 128,
+                 chunk_maxima: Optional[jax.Array] = None):
     """Exact top-k over the last axis via a chunk-max prefilter.
 
     `jax.lax.top_k` over a long row reads/sorts the whole row; this computes
@@ -72,19 +73,37 @@ def topk_chunked(x: jax.Array, k: int, chunk: int = 128):
     route): >= k+1 values exactly equal at the k-th-place boundary may
     resolve in chunk-major order instead of flat-index order.
 
+    chunk_maxima: precomputed jnp.max over the chunk axis (e.g. from the
+    one-pass Pallas stats kernel, ops/select_topk.py) — must correspond to
+    this exact (chunk, V) split with V % chunk == 0.
+
+    The finish over the k*chunk survivors RECURSES with a finer chunk when
+    wide: lax.top_k is ~linear in row length on TPU (measured: top-30 of
+    3840 = 1.02 ms vs 240 -> 0.11 + 480 -> 0.13 at 480 rows), so a second
+    prefilter level is cheaper than one wide sort.
+
     Returns (values, indices) shaped (..., k), sorted descending.
     """
     V = x.shape[-1]
-    if V <= 4 * k * chunk:  # small rows: the prefilter can't pay for itself
-        return jax.lax.top_k(x, k)
+    if chunk_maxima is None and V <= 4 * k * chunk:
+        return jax.lax.top_k(x, k)  # small rows: prefilter can't pay
     C = -(-V // chunk)
     if C * chunk != V:
+        assert chunk_maxima is None, "chunk_maxima requires V % chunk == 0"
         pad = jnp.full((*x.shape[:-1], C * chunk - V), NEG, x.dtype)
         x = jnp.concatenate([x, pad], axis=-1)
     xc = x.reshape(*x.shape[:-1], C, chunk)
-    _, cidx = jax.lax.top_k(jnp.max(xc, axis=-1), k)  # (..., k) chunk ids
+    # NB: reduce_window looked 1.7x faster than reshape+max standalone but
+    # measured SLOWER composed into the selection graph (6.3 vs 4.1 ms at
+    # batch 32 — it blocks fusion); keep the fusable reshape+max.
+    cm = chunk_maxima if chunk_maxima is not None else jnp.max(xc, axis=-1)
+    _, cidx = jax.lax.top_k(cm, k)  # (..., k) chunk ids
     cand = jnp.take_along_axis(xc, cidx[..., None], axis=-2)  # (..., k, chunk)
-    vals, gi = jax.lax.top_k(cand.reshape(*cand.shape[:-2], k * chunk), k)
+    flat = cand.reshape(*cand.shape[:-2], k * chunk)
+    if chunk > 64:  # recurse: finish inside k*16 instead of sorting k*chunk
+        vals, gi = topk_chunked(flat, k, chunk=16)
+    else:
+        vals, gi = jax.lax.top_k(flat, k)
     idx = jnp.take_along_axis(cidx, gi // chunk, axis=-1) * chunk + gi % chunk
     return vals, idx
 
@@ -298,6 +317,9 @@ def beam_search(
         num_beams=K, vocab_size=V, max_new=max_new, eos_id=eos_id,
         pad_id=pad_id, length_penalty=length_penalty,
         no_repeat_ngram_size=no_repeat_ngram_size,
+        # an explicitly pinned XLA attention route (mesh-sharded serving)
+        # also pins XLA selection: GSPMD cannot partition the custom call
+        select_kernel=False if attn_route == "xla" else None,
     )
 
 
@@ -313,11 +335,24 @@ def beam_loop(
     pad_id: int,
     length_penalty: float = 1.0,
     no_repeat_ngram_size: int = 0,
+    select_kernel: Optional[bool] = None,  # None = platform/env/vocab auto
 ) -> jax.Array:
     """Decoder-agnostic beam loop with HF BeamSearchScorer semantics — used
     by both the LLM (beam_search) and the AV-HuBERT seq2seq decoder."""
     B = init_logits.shape[0]
     K, V = num_beams, vocab_size
+    if select_kernel is None:
+        from ..ops.select_topk import select_stats_supported
+
+        # OPT-IN (OMNI_SELECT_KERNEL=1): the one-pass stats kernel measured
+        # NEUTRAL at batch 1 and SLOWER at batch 32 — the chunk-max is
+        # VPU-lane-reduce-bound, not HBM-bound, so fusing the passes buys
+        # nothing (docs/ROUND3_NOTES.md "selection stats kernel").
+        env = _os.environ.get("OMNI_SELECT_KERNEL")
+        select_kernel = (
+            env is not None and env not in ("0", "")
+            and V >= 16384 and select_stats_supported(V)
+        )
 
     logits = jnp.repeat(init_logits[:, None], K, axis=1)  # (B, K, V)
     cum = jnp.tile(jnp.array([0.0] + [NEG] * (K - 1), jnp.float32), (B, 1))  # (B, K)
@@ -388,9 +423,24 @@ def beam_loop(
             # (Sole semantic edge: exact fp ties inside one beam resolve by
             # logit order here vs flat-grid index order there.)
             x = logits.astype(jnp.float32)  # (B,K,V)
-            mx = jnp.max(x, axis=-1, keepdims=True)
-            lse = jnp.log(jnp.sum(jnp.exp(x - mx), axis=-1, keepdims=True))
-            vals, vidx = topk_chunked(x, 2 * K)  # (B, K, 2K) per beam
+            if select_kernel:
+                # one-pass Pallas stats (max + normalizer + chunk maxima;
+                # ops/select_topk.py) instead of 3 XLA passes; normalizer
+                # summation order differs by blocking (last-ulp lse delta,
+                # same measure-zero tie class the route documents)
+                from ..ops.attention import on_tpu
+                from ..ops.select_topk import row_stats_chunkmax
+
+                cm, mx_r, se = row_stats_chunkmax(
+                    x.reshape(B * K, V), interpret=not on_tpu())
+                mx = mx_r.reshape(B, K, 1)
+                lse = jnp.log(se).reshape(B, K, 1)
+                vals, vidx = topk_chunked(
+                    x, 2 * K, chunk_maxima=cm.reshape(B, K, -1))
+            else:
+                mx = jnp.max(x, axis=-1, keepdims=True)
+                lse = jnp.log(jnp.sum(jnp.exp(x - mx), axis=-1, keepdims=True))
+                vals, vidx = topk_chunked(x, 2 * K)  # (B, K, 2K) per beam
             cand_sel = cum[:, :, None] + ((vals - mx) - lse)  # (B, K, 2K)
             scores2k, sel = jax.lax.top_k(
                 cand_sel.reshape(B, K * 2 * K), 2 * K)  # (B, 2K)

@@ -154,9 +154,16 @@ def _qkv_with_lora(
     from ..config import MODALITIES
 
     attn = layer["attn"]
-    q = linear(x, attn["q"])
-    k = linear(x, attn["k"])
-    v = linear(x, attn["v"])
+    if "qkv" in attn:  # decode trees fuse q|k|v (ops/quant.py): one stream
+        qkv = linear(x, attn["qkv"])
+        kv_dim = cfg.num_kv_heads * cfg.head_dim
+        q = qkv[..., : cfg.q_dim]
+        k = qkv[..., cfg.q_dim : cfg.q_dim + kv_dim]
+        v = qkv[..., cfg.q_dim + kv_dim :]
+    else:
+        q = linear(x, attn["q"])
+        k = linear(x, attn["k"])
+        v = linear(x, attn["v"])
     if cfg.lora is not None:
         scaling = cfg.lora.scaling
         if cfg.lora.task_specific:
@@ -227,6 +234,10 @@ def _attention_block(
 
 def _mlp_block(layer: Params, x: jax.Array) -> jax.Array:
     mlp = layer["mlp"]
+    if "gateup" in mlp:  # decode trees fuse gate|up (ops/quant.py)
+        gu = linear(x, mlp["gateup"])
+        g, u = jnp.split(gu, 2, axis=-1)
+        return linear(jax.nn.silu(g) * u, mlp["down"])
     return linear(jax.nn.silu(linear(x, mlp["gate"])) * linear(x, mlp["up"]), mlp["down"])
 
 

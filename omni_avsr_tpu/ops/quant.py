@@ -150,13 +150,49 @@ def quantize_tower_params(params: Dict) -> Dict:
     return walk(params, False)
 
 
-def quantize_decode_params(merged: Dict) -> Dict:
+def quantize_decode_params(merged: Dict, fuse_projections: bool = True) -> Dict:
     """int8 weight-only quantization of ALL frozen decode-path weights:
     the LLM (quantize_llm_params) plus the Whisper and AV-HuBERT encoder
-    towers. One call site for `--quantize-decode int8` / serving."""
+    towers. One call site for `--quantize-decode int8` / serving.
+
+    fuse_projections concatenates q|k|v and gate|up into single decode
+    streams (bit-exact, see fuse_decode_projections); pass False when the
+    tree will be mesh-sharded (decode_partition_specs shards them apart)."""
     out = dict(merged)
     out["llm"] = quantize_llm_params(merged["llm"])
+    if fuse_projections:
+        out["llm"] = fuse_decode_projections(out["llm"])
     for tower in ("whisper", "avhubert"):
         if tower in merged:
             out[tower] = quantize_tower_params(merged[tower])
+    return out
+
+
+def fuse_decode_projections(llm: Dict) -> Dict:
+    """Concatenate q|k|v and gate|up along the output axis (stacked
+    (L, in, out) trees, int8 or bf16) — the decode step then streams 4
+    weight buffers per layer instead of 7. Bit-exact: a matmul's output
+    columns are computed independently, so concatenating weight columns
+    changes neither values nor per-column accumulation order
+    (tests/test_fused_proj.py pins token identity).
+
+    Decode-only: `_qkv_with_lora` / `_mlp_block` route on the presence of
+    the "qkv"/"gateup" keys; training trees never carry them. Not applied
+    under mesh sharding (decode_partition_specs shards q/k/v separately)."""
+
+    def cat(entries):
+        keys = entries[0].keys()
+        assert all(e.keys() == keys for e in entries), "mismatched leaves"
+        return {k: jnp.concatenate([e[k] for e in entries], axis=-1)
+                for k in keys}
+
+    out = dict(llm)
+    layers = dict(llm["layers"])
+    attn = dict(layers["attn"])
+    attn["qkv"] = cat([attn.pop("q"), attn.pop("k"), attn.pop("v")])
+    layers["attn"] = attn
+    mlp = dict(layers["mlp"])
+    mlp["gateup"] = cat([mlp.pop("gate"), mlp.pop("up")])
+    layers["mlp"] = mlp
+    out["layers"] = layers
     return out

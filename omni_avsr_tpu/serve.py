@@ -48,7 +48,10 @@ class Transcriber:
             from .ops.quant import quantize_decode_params
 
             self.params = dict(self.params)
-            self.params = quantize_decode_params(self.params)
+            # fused q|k|v / gate|up streams only off-mesh: the tp partition
+            # rules shard those projections separately
+            self.params = quantize_decode_params(
+                self.params, fuse_projections=mesh is None)
         self.mesh = mesh
         if mesh is not None:
             # GSPMD cannot partition the fused beam-attention pallas call;

@@ -86,7 +86,10 @@ def test_decode_specs_cover_quantized_tree(model_and_params):
     model, params = model_and_params
     engine = OmniEngine(model, params, TrainConfig(), 1.0, noise_bank=None,
                         inference_only=True)
-    merged = quantize_decode_params(engine.merged_params())
+    # mesh-sharded serving quantizes WITHOUT the q|k|v / gate|up stream
+    # fusion — the tp rules shard those projections apart (serve.py)
+    merged = quantize_decode_params(engine.merged_params(),
+                                    fuse_projections=False)
     specs = decode_partition_specs(merged)
     llm = specs["llm"]["layers"]
     assert llm["attn"]["q"]["s"] == P(None, AXIS_TP)
