@@ -64,7 +64,12 @@ def main(argv=None):
     p = argparse.ArgumentParser("preprocess_video")
     p.add_argument("--path-to-input-video", required=True)
     p.add_argument("--transcription", default="")
-    p.add_argument("--detector", default="auto", choices=["auto", "ibug", "center"])
+    p.add_argument("--detector", default="auto",
+                   choices=["auto", "jax", "ibug", "center"])
+    p.add_argument("--retinaface-weights", default=None,
+                   help="Resnet50_Final.pth (biubug6 layout) for --detector jax")
+    p.add_argument("--fan-weights", default=None,
+                   help="FAN .pth (1adrianb layout) for --detector jax")
     p.add_argument("--mean-face-path", default=None,
                    help="reference 20words_mean_face.npy for exact parity")
     p.add_argument("--out-dir", default=None)
@@ -76,7 +81,9 @@ def main(argv=None):
     base = os.path.splitext(os.path.basename(src))[0]
 
     frames = load_video(src)
-    detector = build_detector(args.detector)
+    detector = build_detector(args.detector,
+                              retinaface_weights=args.retinaface_weights,
+                              fan_weights=args.fan_weights)
     landmarks = detector(frames)
     mean_face = load_mean_face(args.mean_face_path)
     rois = extract_mouth_rois(frames, landmarks, mean_face)

@@ -5,12 +5,17 @@ ibug packages (`preprocessing_inference_example/detector.py:15-38`), picking
 the largest face per frame. Those weights are not available in this image,
 so the backend is a protocol:
 
-  - `IbugLandmarksDetector`: the reference path; used when the ibug packages
-    (+ weights) are installed.
-  - `CenterFaceLandmarker`: offline fallback for corpora where the speaker
-    is centered and frame-filling (LRS2/LRS3-style crops, synthetic data):
-    projects the canonical mean face into a centered box. Lets the full
-    pipeline run end-to-end without external weights.
+  - `JaxLandmarksDetector`: self-contained JAX RetinaFace-ResNet50 + FAN
+    (preprocess/retinaface.py, preprocess/fan.py) fed by torch weight FILES
+    through convert/detector_torch.py — no ibug pip packages needed. The
+    reference behaviour (threshold 0.8, largest-face pick, FAN landmarks)
+    end-to-end.
+  - `IbugLandmarksDetector`: the original ibug-package path, used when
+    those packages (+ weights) are installed.
+  - `CenterFaceLandmarker`: weights-free fallback for corpora where the
+    speaker is centered and frame-filling (LRS2/LRS3-style crops, synthetic
+    data): projects the canonical mean face into a centered box. Lets the
+    full pipeline run end-to-end without external weights.
 """
 
 from __future__ import annotations
@@ -65,6 +70,49 @@ class IbugLandmarksDetector:
         return out
 
 
+class JaxLandmarksDetector:
+    """RetinaFace + FAN in JAX, largest-face pick per frame — the reference
+    semantics (`preprocessing_inference_example/detector.py:24-38`) without
+    the ibug package dependency.
+
+    params_*: converted pytrees (convert/detector_torch.py), or paths to
+    the public torch checkpoints (`Resnet50_Final.pth`, a 1adrianb-layout
+    FAN .pth) which are loaded + converted on the fly."""
+
+    def __init__(self, retinaface_params, fan_params, threshold: float = 0.8,
+                 fan_modules: int = 2):
+        from ..convert.detector_torch import convert_fan, convert_retinaface
+
+        def load(p, conv, **kw):
+            if isinstance(p, (str,)):
+                import torch
+
+                sd = torch.load(p, map_location="cpu")
+                sd = sd.get("state_dict", sd)
+                sd = {k.removeprefix("module."): v for k, v in sd.items()}
+                return conv(sd, **kw)
+            return p
+
+        self.rf = load(retinaface_params, convert_retinaface)
+        self.fan = load(fan_params, convert_fan, num_modules=fan_modules)
+        self.threshold = threshold
+
+    def __call__(self, frames: np.ndarray) -> List[Optional[np.ndarray]]:
+        from .fan import fan_landmarks
+        from .retinaface import detect_faces
+
+        out: List[Optional[np.ndarray]] = []
+        for frame in frames:  # frames arrive BGR (cv2), like the reference
+            faces = detect_faces(self.rf, frame, threshold=self.threshold)
+            if len(faces) == 0:
+                out.append(None)
+                continue
+            face = faces[largest_face_index(faces)]
+            rgb = frame[..., ::-1]  # FAN consumes RGB (`detector.py:28`)
+            out.append(fan_landmarks(self.fan, rgb, face))
+        return out
+
+
 class CenterFaceLandmarker:
     """Weights-free fallback: assume a centered face spanning `fill` of the
     frame and place the canonical mean face in that box."""
@@ -82,7 +130,17 @@ class CenterFaceLandmarker:
         return [lm.copy() for _ in range(T)]
 
 
-def build_detector(name: str = "auto", device: str = "cpu") -> LandmarksDetector:
+def build_detector(
+    name: str = "auto",
+    device: str = "cpu",
+    retinaface_weights: Optional[str] = None,
+    fan_weights: Optional[str] = None,
+) -> LandmarksDetector:
+    if name in ("auto", "jax") and retinaface_weights and fan_weights:
+        return JaxLandmarksDetector(retinaface_weights, fan_weights)
+    if name == "jax":
+        raise ValueError(
+            "--detector jax needs --retinaface-weights and --fan-weights")
     if name in ("auto", "ibug"):
         try:
             return IbugLandmarksDetector(device)
