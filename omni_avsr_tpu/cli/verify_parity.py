@@ -75,6 +75,10 @@ def parse_args(argv=None):
     p.add_argument("--golden-clip", default=None,
                    help="raw mp4 (e.g. video_example.mp4): preprocess + "
                         "transcribe per mode, recorded in the report")
+    p.add_argument("--retinaface-weights", default=None,
+                   help="Resnet50_Final.pth: golden-clip landmarks via the "
+                        "JAX RetinaFace+FAN instead of the centered fallback")
+    p.add_argument("--fan-weights", default=None)
     p.add_argument("--golden-audio", default=None,
                    help="16 kHz wav for the golden clip (default: sibling "
                         ".wav of --golden-clip if present)")
@@ -89,7 +93,8 @@ MODE_ARGV = {
 }
 
 
-def golden_transcripts(clip, audio_path, eval_argv, modes):
+def golden_transcripts(clip, audio_path, eval_argv, modes,
+                       detector_weights=(None, None)):
     """Preprocess --golden-clip and beam-decode it under each mode."""
     import os
 
@@ -104,7 +109,8 @@ def golden_transcripts(clip, audio_path, eval_argv, modes):
     from .common import build_model, build_params
 
     frames = load_video(clip)
-    det = build_detector("auto")
+    det = build_detector("auto", retinaface_weights=detector_weights[0],
+                         fan_weights=detector_weights[1])
     rois = extract_mouth_rois(frames, det(frames), load_mean_face())
     video = np.repeat(rois[..., None], 3, axis=-1)
 
@@ -234,7 +240,8 @@ def main(argv=None):
                   passed=all(r["status"] == "PASS" for r in rows))
     if args.golden_clip:
         report["golden_clip"] = golden_transcripts(
-            args.golden_clip, args.golden_audio, eval_argv, modes)
+            args.golden_clip, args.golden_audio, eval_argv, modes,
+            detector_weights=(args.retinaface_weights, args.fan_weights))
     with open(args.output_json, "w") as f:
         json.dump(report, f, indent=2)
     print(f"wrote {args.output_json}")

@@ -180,6 +180,65 @@ class Transcriber:
         )
         return hyps[0]
 
+    def transcribe_many(
+        self,
+        items: Sequence[Dict[str, Optional[np.ndarray]]],  # {"audio","video"}
+        modality: Optional[str] = None,
+        rate_audio: Optional[int] = None,
+        rate_video: Optional[int] = None,
+        num_beams: Optional[int] = None,
+    ) -> List[str]:
+        """Batched transcription: pads every item to one shared bucket and
+        decodes them in a single program. Per-sample token counts stay exact
+        inside the static layout (the gap-tolerant masked prefix,
+        `models/omni.py::infer_prefix_masked`), so results match per-item
+        `transcribe` calls — the throughput path behind the serving CLI's
+        dynamic batcher (`cli/serve_http.py`)."""
+        assert items
+        if modality is None:
+            first = items[0]
+            has_a = first.get("audio") is not None
+            has_v = first.get("video") is not None
+            modality = ("audiovisual" if has_a and has_v
+                        else "audio" if has_a else "video")
+        cfg = self.model.cfg
+        rate_audio = rate_audio or cfg.audio_rates[0]
+        rate_video = rate_video or cfg.video_rates[0]
+        B = len(items)
+        use_v = modality in ("video", "audiovisual")
+        use_a = modality in ("audio", "audiovisual")
+
+        batch: Dict[str, np.ndarray] = {}
+        if use_v:
+            Ts = [len(it["video"]) for it in items]
+            Tp = _round_up(max(Ts), self.video_pad_multiple)
+            shape = items[0]["video"].shape[1:]
+            v = np.zeros((B, Tp) + shape, np.uint8)
+            for b, it in enumerate(items):
+                v[b, : Ts[b]] = it["video"]
+            batch["video"] = v
+            batch["video_len"] = np.asarray(Ts, np.int32)
+        if use_a:
+            Ss = [len(it["audio"]) for it in items]
+            if use_v:
+                Sp = batch["video"].shape[1] * 640
+            else:
+                Sp = _round_up(max(Ss), 640 * self.video_pad_multiple)
+            a = np.zeros((B, Sp), np.float32)
+            for b, it in enumerate(items):
+                s = min(Ss[b], Sp)
+                a[b, :s] = it["audio"][:s]
+            batch["audio"] = a
+            batch["audio_len"] = np.asarray(
+                [min(s, Sp) for s in Ss], np.int32)
+            batch["audio_trim_len"] = int(
+                min(_round_up(whisper_token_len(Sp), 25), 1500))
+        return self.engine.decode_batch(
+            self.params, batch, modality, rate_audio, rate_video,
+            num_beams=num_beams if num_beams is not None else self.num_beams,
+            max_new=self.max_new,
+        )
+
     def transcribe_file(
         self,
         path: str,
