@@ -88,7 +88,11 @@ def main():
     # pollute the measurement (see .claude/skills/verify/SKILL.md)
     from omni_avsr_tpu.utils.profiling import chain_iteration
 
-    n_iters = 10
+    # one on-device loop, ONE host dispatch+fetch: the axon relay round-trip
+    # (~32 ms quiet, worse under host load) is amortised across n_iters —
+    # at 10 iters it was a 4%+ headline haircut whenever anything else ran
+    # on the host
+    n_iters = 40
 
     @jax.jit
     def timed(params, arrays):
