@@ -105,3 +105,15 @@ def test_batcher_separates_incompatible_groups(transcriber):
         assert b.n_batches == 2
     finally:
         b.shutdown()
+
+
+def test_transcribe_many_audiovisual(transcriber):
+    rng = np.random.RandomState(3)
+    items = [
+        {"audio": (rng.randn(16000) * 0.1).astype(np.float32),
+         "video": rng.randint(0, 255, (25, 96, 96, 3), dtype=np.uint8)},
+        {"audio": (rng.randn(20000) * 0.1).astype(np.float32),
+         "video": rng.randint(0, 255, (32, 96, 96, 3), dtype=np.uint8)},
+    ]
+    out = transcriber.transcribe_many(items)
+    assert len(out) == 2 and all(isinstance(t, str) for t in out)
