@@ -108,6 +108,13 @@ class JaxLandmarksDetector:
                 out.append(None)
                 continue
             face = faces[largest_face_index(faces)]
+            if (not np.all(np.isfinite(face[:4]))) or face[2] <= face[0] \
+                    or face[3] <= face[1]:
+                # degenerate box (defensive — detect_faces already filters
+                # these): treat as no detection; landmark interpolation
+                # covers the gap (`video_process.py:120-145`)
+                out.append(None)
+                continue
             rgb = frame[..., ::-1]  # FAN consumes RGB (`detector.py:28`)
             out.append(fan_landmarks(self.fan, rgb, face))
         return out

@@ -125,8 +125,17 @@ class CropSpec:
 def crop_face(frame_rgb: np.ndarray, box: np.ndarray,
               spec: CropSpec = CropSpec()) -> Tuple[np.ndarray, np.ndarray, float]:
     """Crop + bilinear-resize the face box region to (res, res).
-    Returns (patch f32 [0,1], center (2,), side_in_pixels)."""
+    Returns (patch f32 [0,1], center (2,), side_in_pixels).
+
+    Out-of-frame samples are ZERO (the 1adrianb crop zero-pads regions
+    outside the image, so faces near frame borders see black, not
+    clamp-to-edge smears). Raises ValueError on a non-finite or
+    degenerate box — callers must map that frame to None (reference
+    semantics: landmark interpolation covers detection gaps,
+    `preprocessing_inference_example/video_process.py:120-145`)."""
     x1, y1, x2, y2 = box[:4]
+    if (not np.all(np.isfinite(box[:4]))) or x2 <= x1 or y2 <= y1:
+        raise ValueError(f"degenerate face box {box[:4]}")
     center = np.array([(x1 + x2) / 2.0, (y1 + y2) / 2.0])
     center[1] -= (y2 - y1) * spec.center_shift
     scale = (x2 - x1 + y2 - y1) / spec.scale_div
@@ -136,17 +145,20 @@ def crop_face(frame_rgb: np.ndarray, box: np.ndarray,
     ys = center[1] - side / 2 + (np.arange(res) + 0.5) * side / res
     xs = center[0] - side / 2 + (np.arange(res) + 0.5) * side / res
     H, W = frame_rgb.shape[:2]
-    y0 = np.clip(np.floor(ys - 0.5).astype(int), 0, H - 2)
-    x0 = np.clip(np.floor(xs - 0.5).astype(int), 0, W - 2)
-    wy = np.clip(ys - 0.5 - y0, 0.0, 1.0)[:, None, None]
-    wx = np.clip(xs - 0.5 - x0, 0.0, 1.0)[None, :, None]
+    y0 = np.floor(ys - 0.5).astype(int)
+    x0 = np.floor(xs - 0.5).astype(int)
+    wy = (ys - 0.5 - y0)[:, None, None]
+    wx = (xs - 0.5 - x0)[None, :, None]
     img = frame_rgb.astype(np.float32) / 255.0
-    p00 = img[y0][:, x0]
-    p01 = img[y0][:, x0 + 1]
-    p10 = img[y0 + 1][:, x0]
-    p11 = img[y0 + 1][:, x0 + 1]
-    patch = (p00 * (1 - wy) * (1 - wx) + p01 * (1 - wy) * wx
-             + p10 * wy * (1 - wx) + p11 * wy * wx)
+
+    def tap(yi: np.ndarray, xi: np.ndarray) -> np.ndarray:
+        valid = (((yi >= 0) & (yi < H))[:, None, None]
+                 & ((xi >= 0) & (xi < W))[None, :, None])
+        g = img[np.clip(yi, 0, H - 1)][:, np.clip(xi, 0, W - 1)]
+        return g * valid
+
+    patch = (tap(y0, x0) * (1 - wy) * (1 - wx) + tap(y0, x0 + 1) * (1 - wy) * wx
+             + tap(y0 + 1, x0) * wy * (1 - wx) + tap(y0 + 1, x0 + 1) * wy * wx)
     return patch, center, side
 
 
@@ -176,10 +188,16 @@ def heatmaps_to_landmarks(
     return (pts + 0.5) * ratio + origin[None, :]
 
 
+# Module-level jit: compile cache keyed here, not on a per-frame wrapper
+# (avoids per-call wrapper construction overhead in the frame loop).
+_fan_forward_jit = jax.jit(fan_forward)
+
+
 def fan_landmarks(params: Params, frame_rgb: np.ndarray, box: np.ndarray,
                   spec: CropSpec = CropSpec()) -> np.ndarray:
     """Full FANPredictor step for one face box -> (68, 2) image-space
-    landmarks (float64, the dtype the warp tail consumes)."""
+    landmarks (float64, the dtype the warp tail consumes). Raises
+    ValueError on a degenerate box (see crop_face)."""
     patch, center, side = crop_face(frame_rgb, box, spec)
-    hm = jax.jit(fan_forward)(params, jnp.asarray(patch[None]))
+    hm = _fan_forward_jit(params, jnp.asarray(patch[None]))
     return heatmaps_to_landmarks(np.asarray(hm[0]), center, side, spec)

@@ -154,9 +154,13 @@ def priors_for(height: int, width: int) -> np.ndarray:
 
 
 def decode_boxes(loc: np.ndarray, priors: np.ndarray) -> np.ndarray:
-    """SSD decode (variances 0.1/0.2) -> corner-form normalized boxes."""
+    """SSD decode (variances 0.1/0.2) -> corner-form normalized boxes.
+
+    The exp argument is clamped (trained biubug6 regressions stay well
+    inside ±10; anything larger is garbage) so unconverged/random weights
+    cannot overflow to inf and poison the downstream crop."""
     cxy = priors[:, :2] + loc[:, :2] * VARIANCES[0] * priors[:, 2:]
-    wh = priors[:, 2:] * np.exp(loc[:, 2:] * VARIANCES[1])
+    wh = priors[:, 2:] * np.exp(np.clip(loc[:, 2:] * VARIANCES[1], -10.0, 10.0))
     return np.concatenate([cxy - wh / 2, cxy + wh / 2], axis=-1)
 
 
@@ -179,6 +183,11 @@ def nms(boxes: np.ndarray, scores: np.ndarray, iou_thresh: float = 0.4) -> List[
     return keep
 
 
+# Module-level jit: compile cache keyed here, not on a per-frame wrapper
+# (avoids per-call wrapper construction overhead in the frame loop).
+_retinaface_forward_jit = jax.jit(retinaface_forward)
+
+
 def detect_faces(
     params: Params,
     frame_bgr: np.ndarray,  # (H, W, 3) uint8 BGR
@@ -187,14 +196,22 @@ def detect_faces(
 ) -> np.ndarray:
     """Returns (N, 5) [x1, y1, x2, y2, score] in pixels, score-sorted —
     the RetinaFacePredictor output consumed by the reference's
-    largest-face pick (`detector.py:24-38`)."""
+    largest-face pick (`detector.py:24-38`). Non-finite or degenerate
+    (zero/negative extent) boxes are dropped before NMS so garbage
+    regressions surface as "no detection" (frame -> None upstream),
+    never as a garbage crop."""
     H, W = frame_bgr.shape[:2]
     x = frame_bgr.astype(np.float32) - np.array([104.0, 117.0, 123.0], np.float32)
-    loc, conf, _ = jax.jit(retinaface_forward)(params, jnp.asarray(x[None]))
+    loc, conf, _ = _retinaface_forward_jit(params, jnp.asarray(x[None]))
     loc = np.asarray(loc[0])
     scores = np.asarray(conf[0][:, 1])
     boxes = decode_boxes(loc, priors_for(H, W)) * np.array([W, H, W, H], np.float32)
-    keep = scores > threshold
+    keep = (
+        (scores > threshold)
+        & np.isfinite(boxes).all(axis=1)
+        & (boxes[:, 2] > boxes[:, 0])
+        & (boxes[:, 3] > boxes[:, 1])
+    )
     boxes, scores = boxes[keep], scores[keep]
     if len(boxes) == 0:
         return np.zeros((0, 5), np.float32)

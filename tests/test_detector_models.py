@@ -358,3 +358,79 @@ def test_jax_detector_end_to_end_random_weights():
     assert len(lms) == 2
     for lm in lms:
         assert lm is not None and lm.shape == (68, 2) and np.isfinite(lm).all()
+
+
+def test_decode_boxes_exp_clamped_and_nonfinite_filtered():
+    """Garbage regressions must surface as "no detection", never as a
+    garbage crop (ADVICE r3: retinaface.py:165)."""
+    from omni_avsr_tpu.preprocess.retinaface import decode_boxes, priors_for
+
+    priors = priors_for(96, 128)
+    loc = np.full((len(priors), 4), 1e6, np.float32)  # would exp-overflow
+    with np.errstate(over="raise", invalid="raise"):
+        boxes = decode_boxes(loc, priors)  # no overflow warning/error
+    assert np.isfinite(boxes).all()
+
+
+def test_detect_faces_drops_nonfinite_boxes(monkeypatch):
+    from omni_avsr_tpu.preprocess import retinaface as rf
+
+    n = len(rf.priors_for(32, 32))
+
+    def fake_forward(params, images):
+        loc = jnp.zeros((1, n, 4))
+        loc = loc.at[0, 0].set(jnp.nan)  # top-scoring anchor decodes to NaN
+        conf = jnp.stack([jnp.zeros((1, n)), jnp.ones((1, n)) * 0.99], axis=-1)
+        return loc, conf, jnp.zeros((1, n, 10))
+
+    monkeypatch.setattr(rf, "_retinaface_forward_jit", fake_forward)
+    frame = np.zeros((32, 32, 3), np.uint8)
+    faces = rf.detect_faces({}, frame, threshold=0.5)
+    assert np.isfinite(faces).all()  # NaN anchor dropped, others kept
+    assert len(faces) >= 1
+
+
+def test_crop_face_zero_pads_outside_frame():
+    """1adrianb crop zero-pads out-of-frame regions (ADVICE r3: fan.py:134):
+    a face box hanging off the left edge must see black, not a
+    clamp-to-edge smear of column 0."""
+    from omni_avsr_tpu.preprocess.fan import crop_face
+
+    frame = np.full((100, 100, 3), 255, np.uint8)
+    # box centered at x=0: half the crop square is outside the frame
+    patch, center, side = crop_face(frame, np.array([-30.0, 20, 30, 80]))
+    assert side > 0
+    left = patch[:, : patch.shape[1] // 4].mean()
+    # patch center maps to image x=0 (the edge itself, half-covered);
+    # probe at 3/4 width, which maps ~30 px INTO the frame
+    right = patch[patch.shape[0] // 2, 3 * patch.shape[1] // 4].mean()
+    assert left < 0.05  # zero-padded, NOT smeared white
+    assert right > 0.99  # in-frame samples untouched
+
+
+def test_crop_face_degenerate_box_raises():
+    from omni_avsr_tpu.preprocess.fan import crop_face
+
+    frame = np.zeros((50, 50, 3), np.uint8)
+    for bad in ([np.nan, 0, 10, 10], [10, 10, 10, 40], [10, 10, 40, 5]):
+        with pytest.raises(ValueError):
+            crop_face(frame, np.array(bad, np.float64))
+
+
+def test_jax_detector_degenerate_face_yields_none(monkeypatch):
+    """A degenerate largest-face box maps the FRAME to None (reference
+    semantics: interpolation covers gaps, video_process.py:120-145)."""
+    from omni_avsr_tpu.preprocess import detector as det_mod
+
+    d = det_mod.JaxLandmarksDetector.__new__(det_mod.JaxLandmarksDetector)
+    d.rf, d.fan, d.threshold = {}, {}, 0.8
+
+    monkeypatch.setattr(
+        det_mod, "largest_face_index", lambda f: 0, raising=True)
+    import omni_avsr_tpu.preprocess.retinaface as rf
+
+    monkeypatch.setattr(
+        rf, "detect_faces",
+        lambda *a, **k: np.array([[np.nan, 0, 10, 10, 0.9]], np.float32))
+    out = d(np.zeros((1, 32, 32, 3), np.uint8))
+    assert out == [None]
