@@ -141,6 +141,7 @@ def greedy_decode(
     key_valid: Optional[jax.Array] = None,  # (B, P) gap-tolerant validity
     cache_dtype=jnp.bfloat16,
     attn_route: Optional[str] = None,  # "kernel"/"xla"; None = platform/env
+    attn_mesh=None,  # Mesh: shard_map the kernel over its tp axis
 ) -> jax.Array:
     """Returns (B, max_new) generated ids, pad_id after EOS.
 
@@ -172,12 +173,14 @@ def greedy_decode(
     import os
 
     from ..ops.attention import on_tpu
-    from ..ops.beam_attention import beam_attn_supported
+    from ..ops.beam_attention import beam_attn_shardable, beam_attn_supported
 
     choice = attn_route or os.environ.get(
         "OMNI_BEAM_ATTN", "kernel" if on_tpu() else "xla")
     use_kernel = (choice == "kernel"
-                  and (beam_attn_supported(cfg.head_dim) or not on_tpu()))
+                  and (beam_attn_supported(cfg.head_dim) or not on_tpu())
+                  and beam_attn_shardable(
+                      cfg.num_heads, cfg.num_kv_heads, attn_mesh))
 
     if use_kernel:
         cache = AncSplitCache.from_prefill(cache0, P, 1, max_new)
@@ -186,7 +189,7 @@ def greedy_decode(
         def decode_step(cache, emb, t):
             return llm_decode_step_beam_anc(
                 params, cfg, emb, t, n_valid, prefix_mask, cache, anc, 1,
-                modality)
+                modality, attn_mesh=attn_mesh)
     else:
         cache = SplitCache.from_prefill(cache0, P, 1, max_new)
 
@@ -241,6 +244,7 @@ def beam_search(
     key_valid: Optional[jax.Array] = None,  # (B, P) gap-tolerant validity
     cache_dtype=jnp.bfloat16,
     attn_route: Optional[str] = None,  # "kernel"/"xla"; None = platform/env
+    attn_mesh=None,  # Mesh: shard_map the kernel over its tp axis
 ) -> jax.Array:
     """Returns (B, max_new) best-hypothesis ids, pad_id after the content.
 
@@ -276,11 +280,14 @@ def beam_search(
     # mode there, so the route (ancestor state plumbing included) is
     # CPU-testable end-to-end at any head_dim.
     from ..ops.attention import on_tpu
+    from ..ops.beam_attention import beam_attn_shardable
 
     choice = attn_route or os.environ.get(
         "OMNI_BEAM_ATTN", "kernel" if on_tpu() else "xla")
     use_kernel = (choice == "kernel"
-                  and (beam_attn_supported(cfg.head_dim) or not on_tpu()))
+                  and (beam_attn_supported(cfg.head_dim) or not on_tpu())
+                  and beam_attn_shardable(
+                      cfg.num_heads, cfg.num_kv_heads, attn_mesh))
 
     if use_kernel:
         # fused-kernel route: unpermuted gen cache + ancestor table, no
@@ -296,7 +303,7 @@ def beam_search(
             emb = embed_tokens(params, new_tok.reshape(B * K, 1), dtype)
             step_logits, cache = llm_decode_step_beam_anc(
                 params, cfg, emb, t, prefix_len_bk, prefix_mask, cache, anc,
-                K, modality
+                K, modality, attn_mesh=attn_mesh
             )
             return step_logits.reshape(B, K, V), (cache, anc)
     else:
@@ -317,9 +324,11 @@ def beam_search(
         num_beams=K, vocab_size=V, max_new=max_new, eos_id=eos_id,
         pad_id=pad_id, length_penalty=length_penalty,
         no_repeat_ngram_size=no_repeat_ngram_size,
-        # an explicitly pinned XLA attention route (mesh-sharded serving)
-        # also pins XLA selection: GSPMD cannot partition the custom call
-        select_kernel=False if attn_route == "xla" else None,
+        # an explicitly pinned XLA attention route — or mesh-sharded
+        # serving (the selection pallas call is NOT shard_mapped yet) —
+        # also pins XLA selection: GSPMD cannot partition a custom call
+        select_kernel=(False if (attn_route == "xla" or attn_mesh is not None)
+                       else None),
     )
 
 

@@ -740,6 +740,7 @@ def llm_decode_step_beam_anc(
     anc: jax.Array,  # (B, K, N) int32 — already advanced for this step
     num_beams: int,
     modality: Optional[str] = None,
+    attn_mesh=None,  # Mesh: run the kernel per-tp-shard (shard_map)
 ) -> Tuple[jax.Array, AncSplitCache]:
     """Beam decode step on the no-reorder ancestor cache: attention runs in
     the fused Pallas kernel (`ops/beam_attention.py`), the gen cache is
@@ -766,7 +767,7 @@ def llm_decode_step_beam_anc(
         out = beam_decode_attention(
             q, pk.astype(q.dtype), pv.astype(q.dtype), gk.astype(q.dtype),
             gv.astype(q.dtype), k_cur, v_cur, prefix_bias, anc, step,
-            num_beams,
+            num_beams, mesh=attn_mesh,
         )
         x = x + linear(out.reshape(BK, 1, cfg.q_dim), attn["o"])
         h2 = rms_norm(x, layer["post_attn_norm"]["scale"], cfg.rms_norm_eps)

@@ -132,6 +132,19 @@ def beam_attn_supported(head_dim: int) -> bool:
     return head_dim in (64, 128)
 
 
+def beam_attn_shardable(num_heads: int, num_kv_heads: int, mesh,
+                        axis: str = "tp") -> bool:
+    """Can the kernel run per-shard under `mesh`'s model-parallel axis?
+    Heads are the tp dimension of the q/k/v projections
+    (parallel/partitioning.py::LLM_DECODE_RULES) — the kernel is
+    embarrassingly parallel over kv heads, so it shards iff the head
+    counts divide the axis."""
+    if mesh is None:
+        return True
+    tp = dict(mesh.shape).get(axis, 1)
+    return num_heads % tp == 0 and num_kv_heads % tp == 0
+
+
 def beam_decode_attention(
     q: jax.Array,  # (B*K, 1, Hq, D)
     pk: jax.Array,  # (B, Hkv, P, D)
@@ -145,11 +158,49 @@ def beam_decode_attention(
     step: jax.Array,  # int32 scalar
     num_beams: int,
     interpret: bool = False,
+    mesh=None,  # jax.sharding.Mesh: run the kernel PER-SHARD via shard_map
+    mesh_axis: str = "tp",
 ) -> jax.Array:
     """Fused split-cache beam attention. Logically equivalent to
     `_merged_beam_attention` run on a cache physically reordered so that
     row k holds beam k's ancestor chain (gen slots < step live; the
-    current token is its own block)."""
+    current token is its own block).
+
+    With `mesh`, the pallas call is wrapped in `jax.shard_map` splitting
+    the KV-HEAD dim over `mesh_axis` — per-head softmax needs no
+    collectives, so tp-sharded serving keeps the kernel route instead of
+    falling back to XLA attention (GSPMD cannot partition a custom call
+    by itself). Requires Hq % tp == Hkv % tp == 0 (`beam_attn_shardable`)."""
+    if mesh is not None and dict(mesh.shape).get(mesh_axis, 1) > 1:
+        from jax.sharding import PartitionSpec as P
+
+        Hq, Hkv = q.shape[2], pk.shape[1]
+        assert beam_attn_shardable(Hq, Hkv, mesh, mesh_axis), (
+            f"heads ({Hq}, {Hkv}) not divisible by mesh axis "
+            f"{mesh_axis}={dict(mesh.shape)[mesh_axis]}")
+        inner = functools.partial(
+            beam_decode_attention, num_beams=num_beams, interpret=interpret)
+        return jax.shard_map(
+            inner, mesh=mesh,
+            in_specs=(
+                P(None, None, mesh_axis, None),        # q: split Hq
+                P(None, mesh_axis, None, None),        # pk: split Hkv
+                P(None, mesh_axis, None, None),        # pv
+                P(None, mesh_axis, None, None, None),  # gk
+                P(None, mesh_axis, None, None, None),  # gv
+                P(None, mesh_axis, None),              # k_cur
+                P(None, mesh_axis, None),              # v_cur
+                P(None, None),                         # prefix_bias: replicated
+                P(None, None, None),                   # anc: replicated
+                P(),                                   # step: replicated
+            ),
+            out_specs=P(None, None, mesh_axis, None),
+            # pallas_call does not annotate vma on its output aval; the
+            # out_specs declaration above is the ground truth
+            check_vma=False,
+        )(q, pk, pv, gk, gv, k_cur, v_cur, prefix_bias,
+          anc.astype(jnp.int32), jnp.asarray(step, jnp.int32))
+
     from .attention import on_tpu
 
     BK, _, Hq, D = q.shape

@@ -91,6 +91,9 @@ class OmniEngine:
         # None = route by platform/env (decode/decoding.py); "xla" pins the
         # partitionable attention for mesh-sharded serving (serve.py)
         self.decode_attn_route: Optional[str] = None
+        # Mesh for shard_map-ing the beam-attention kernel per tp shard —
+        # set by serve.py so mesh-sharded serving KEEPS the kernel route
+        self.decode_attn_mesh = None
         # baseline (Llama-AVSR / Llama-MTSK) single-task steps, jitted lazily
         self._single_train = jax.jit(
             self._make_single_step(is_train=True),
@@ -259,7 +262,7 @@ class OmniEngine:
 
     def _decode_fn(self, modality: str, rate_a, rate_v, trim_len, num_beams: int, max_new: int):
         key = (modality, rate_a, rate_v, trim_len, num_beams, max_new,
-               self.decode_attn_route)
+               self.decode_attn_route, self.decode_attn_mesh)
         if key in self._decode_fns:
             return self._decode_fns[key]
         model, tok, cfg = self.model, self.tok, self.cfg
@@ -283,12 +286,14 @@ class OmniEngine:
                     max_new=max_new, eos_id=tok.eos_id, pad_id=tok.pad_id,
                     modality=lora_mod, key_valid=key_valid,
                     attn_route=self.decode_attn_route,
+                    attn_mesh=self.decode_attn_mesh,
                 )
             return beam_search(
                 params["llm"], cfg.llm, prefix,
                 num_beams=num_beams, max_new=max_new,
                 eos_id=tok.eos_id, pad_id=tok.pad_id, modality=lora_mod,
                 key_valid=key_valid, attn_route=self.decode_attn_route,
+                attn_mesh=self.decode_attn_mesh,
             )
 
         self._decode_fns[key] = fn

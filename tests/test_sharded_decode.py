@@ -121,3 +121,47 @@ def test_clamp_specs_replicates_indivisible_dims():
     assert out["head"] == P(None, None)
     assert out["q"] == P(None, AXIS_TP)
     assert any("replicating" in str(x.message) for x in w)
+
+
+@pytest.mark.slow
+def test_tp_sharded_kernel_route_matches_single_device(model_and_params, media):
+    """VERDICT r3 item 3: mesh-sharded serving KEEPS the fused
+    beam-attention kernel via shard_map over the tp axis (per-kv-head
+    parallel — ops/beam_attention.py::beam_decode_attention(mesh=...)).
+    On CPU the kernel self-selects interpret mode, so the full sharded
+    route (ancestor cache + shard_map + pallas) is token-exact testable
+    here. Reorder-free cache semantics match HF beam search
+    (`Omni_AVSR/modeling_OmniAVSR.py:312-322`)."""
+    model, params = model_and_params
+    audio, video = media
+    ref = Transcriber(model, params, num_beams=2, max_new_tokens=6)
+    ref.engine.decode_attn_route = "kernel"
+    tp = Transcriber(model, params, num_beams=2, max_new_tokens=6,
+                     mesh=_tp_mesh())
+    tp.engine.decode_attn_route = "kernel"
+    assert tp.engine.decode_attn_mesh is not None  # kernel kept, not pinned xla
+    for kwargs in ({"audio": audio}, {"audio": audio, "video": video}):
+        assert tp.transcribe(**kwargs) == ref.transcribe(**kwargs)
+
+
+def test_tp_sharded_kernel_route_greedy_matches(model_and_params, media):
+    model, params = model_and_params
+    audio, _ = media
+    ref = Transcriber(model, params, num_beams=1, max_new_tokens=6)
+    ref.engine.decode_attn_route = "kernel"
+    tp = Transcriber(model, params, num_beams=1, max_new_tokens=6,
+                     mesh=_tp_mesh())
+    tp.engine.decode_attn_route = "kernel"
+    assert tp.transcribe(audio=audio) == ref.transcribe(audio=audio)
+
+
+def test_indivisible_heads_fall_back_to_xla_route():
+    """A mesh whose tp axis does not divide the kv-head count must pin the
+    XLA attention route (beam_attn_shardable gate), not crash."""
+    from omni_avsr_tpu.ops.beam_attention import beam_attn_shardable
+
+    mesh3 = make_mesh(MeshConfig(dp=1, tp=4), devices=jax.devices()[:4])
+    # tiny_omni has few heads; pick counts that don't divide 4
+    assert not beam_attn_shardable(6, 3, mesh3)
+    assert beam_attn_shardable(8, 4, mesh3)
+    assert beam_attn_shardable(6, 3, None)
