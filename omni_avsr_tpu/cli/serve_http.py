@@ -34,13 +34,14 @@ import numpy as np
 
 
 class _Pending:
-    __slots__ = ("item", "modality", "beams", "event", "result", "error",
-                 "batch_size")
+    __slots__ = ("item", "modality", "beams", "bucket", "event", "result",
+                 "error", "batch_size")
 
-    def __init__(self, item, modality, beams):
+    def __init__(self, item, modality, beams, bucket=None):
         self.item = item
         self.modality = modality
         self.beams = beams
+        self.bucket = bucket
         self.event = threading.Event()
         self.result = None
         self.error = None
@@ -62,7 +63,11 @@ class BatchingServer:
         self._thread.start()
 
     def submit(self, item, modality, beams) -> _Pending:
-        p = _Pending(item, modality, beams)
+        # group key includes the item's padded-window class: every batch's
+        # shared window then equals each member's own, so a request's
+        # transcript never depends on its co-batch (serve.py::bucket_class)
+        p = _Pending(item, modality, beams,
+                     bucket=self.t.bucket_class(item, modality))
         self.n_requests += 1
         self.q.put(p)
         return p
@@ -87,24 +92,33 @@ class BatchingServer:
                     nxt = self.q.get(timeout=left)
                 except queue.Empty:
                     break
-                if (nxt.modality, nxt.beams) == (first.modality, first.beams):
+                if ((nxt.modality, nxt.beams, nxt.bucket)
+                        == (first.modality, first.beams, first.bucket)):
                     group.append(nxt)
                 else:  # incompatible: serve it in its own next batch
                     self.q.put(nxt)
                     break
-            try:
-                texts = self.t.transcribe_many(
-                    [p.item for p in group], modality=first.modality,
-                    num_beams=first.beams)
-                self.n_batches += 1
-                for p, text in zip(group, texts):
-                    p.result = text
-                    p.batch_size = len(group)
-            except Exception as e:  # surface decode errors to every waiter
+            self._decode(group)
+
+    def _decode(self, group):
+        try:
+            texts = self.t.transcribe_many(
+                [p.item for p in group], modality=group[0].modality,
+                num_beams=group[0].beams)
+            self.n_batches += 1
+            for p, text in zip(group, texts):
+                p.result = text
+                p.batch_size = len(group)
+        except Exception as e:
+            if len(group) > 1:
+                # one poison request must not 500 its co-batch: retry each
+                # member alone so only the offender surfaces the error
                 for p in group:
-                    p.error = f"{type(e).__name__}: {e}"
-            for p in group:
-                p.event.set()
+                    self._decode([p])
+                return
+            group[0].error = f"{type(e).__name__}: {e}"
+        for p in group:
+            p.event.set()
 
 
 def _make_handler(server: BatchingServer, timeout_s: float):
@@ -148,6 +162,18 @@ def _make_handler(server: BatchingServer, timeout_s: float):
                 modality = req.get("modality") or (
                     "audiovisual" if ("audio" in item and "video" in item)
                     else "audio" if "audio" in item else "video")
+                # reject modality/payload mismatches HERE with a 400 —
+                # inside the batcher they would fail the whole group
+                need = {"audio": ("audio",), "video": ("video",),
+                        "audiovisual": ("audio", "video")}.get(modality)
+                if need is None:
+                    return self._json(
+                        400, {"error": f"unknown modality {modality!r}"})
+                missing = [k for k in need if k not in item]
+                if missing:
+                    return self._json(400, {
+                        "error": f"modality {modality!r} requires "
+                                 f"{'+'.join(need)}; missing {missing}"})
                 pending = server.submit(item, modality, req.get("num_beams"))
             except Exception as e:
                 return self._json(400, {"error": f"{type(e).__name__}: {e}"})

@@ -18,7 +18,7 @@ calls at similar lengths reuse compiled executables.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -27,6 +27,19 @@ from .data.tokenizer import TokenizerBundle, load_hf_tokenizer
 from .models.omni import OmniAVSR
 from .ops.audio_frontend import whisper_token_len
 from .train.engine import OmniEngine, _round_up
+
+
+def bucket_ladder(n: int, base: int) -> int:
+    """Smallest ladder class >= n (base, then ~1.5x geometric steps rounded
+    to base). Serving pads to LADDER classes, not raw multiples: a bounded
+    class set bounds compile count, and — because the HTTP batcher groups
+    requests by class (`cli/serve_http.py`) — every batch's shared padded
+    window equals each member's OWN class, so a request's transcript never
+    depends on what it was co-batched with."""
+    v = base
+    while v < n:
+        v = _round_up(int(v * 1.5), base)
+    return v
 
 
 class Transcriber:
@@ -54,9 +67,19 @@ class Transcriber:
                 self.params, fuse_projections=mesh is None)
         self.mesh = mesh
         if mesh is not None:
-            # GSPMD cannot partition the fused beam-attention pallas call;
-            # pin multi-chip serving to the XLA attention route
-            self.engine.decode_attn_route = "xla"
+            from .ops.beam_attention import beam_attn_shardable
+
+            llm_cfg = model.cfg.llm
+            if beam_attn_shardable(llm_cfg.num_heads, llm_cfg.num_kv_heads,
+                                   mesh):
+                # keep the fused beam-attention kernel under the mesh: it is
+                # shard_map-ed over the tp axis (per-kv-head parallel, no
+                # collectives), so GSPMD never sees the raw custom call
+                self.engine.decode_attn_mesh = mesh
+            else:
+                # heads don't divide the tp axis — fall back to the
+                # partitionable XLA attention route
+                self.engine.decode_attn_route = "xla"
         if mesh is not None:
             # Multi-chip serving: tp-shard the LLM matmuls (+ encoder FFNs)
             # over the mesh and let GSPMD insert the collectives inside the
@@ -157,7 +180,7 @@ class Transcriber:
         batch: Dict[str, np.ndarray] = {}
         if video is not None:
             T = len(video)
-            Tp = _round_up(T, self.video_pad_multiple)
+            Tp = bucket_ladder(T, self.video_pad_multiple)
             v = np.zeros((1, Tp) + video.shape[1:], np.uint8)
             v[0, :T] = video
             batch["video"] = v
@@ -167,7 +190,7 @@ class Transcriber:
             if video is not None:
                 Sp = batch["video"].shape[1] * 640
             else:
-                Sp = _round_up(S, 640 * self.video_pad_multiple)
+                Sp = bucket_ladder(S, 640 * self.video_pad_multiple)
             a = np.zeros((1, Sp), np.float32)
             a[0, :min(S, Sp)] = audio[:Sp]
             batch["audio"] = a
@@ -188,12 +211,16 @@ class Transcriber:
         rate_video: Optional[int] = None,
         num_beams: Optional[int] = None,
     ) -> List[str]:
-        """Batched transcription: pads every item to one shared bucket and
-        decodes them in a single program. Per-sample token counts stay exact
-        inside the static layout (the gap-tolerant masked prefix,
-        `models/omni.py::infer_prefix_masked`), so results match per-item
-        `transcribe` calls — the throughput path behind the serving CLI's
-        dynamic batcher (`cli/serve_http.py`)."""
+        """Batched transcription: pads every item to one shared bucket-class
+        window and decodes them in a single program. Per-sample token counts
+        stay exact inside the static layout (the gap-tolerant masked prefix,
+        `models/omni.py::infer_prefix_masked`); results match per-item
+        `transcribe` calls EXACTLY for items whose own `bucket_class` equals
+        the batch's (the longest item always; every item when the caller
+        groups by class, as the HTTP batcher does). Items below the batch
+        class see a larger whisper window than they would alone — same
+        tokens kept, but conv-frontend edge frames and encoder attention
+        over the padded span can differ at f32 noise level."""
         assert items
         if modality is None:
             first = items[0]
@@ -211,7 +238,7 @@ class Transcriber:
         batch: Dict[str, np.ndarray] = {}
         if use_v:
             Ts = [len(it["video"]) for it in items]
-            Tp = _round_up(max(Ts), self.video_pad_multiple)
+            Tp = bucket_ladder(max(Ts), self.video_pad_multiple)
             shape = items[0]["video"].shape[1:]
             v = np.zeros((B, Tp) + shape, np.uint8)
             for b, it in enumerate(items):
@@ -223,7 +250,7 @@ class Transcriber:
             if use_v:
                 Sp = batch["video"].shape[1] * 640
             else:
-                Sp = _round_up(max(Ss), 640 * self.video_pad_multiple)
+                Sp = bucket_ladder(max(Ss), 640 * self.video_pad_multiple)
             a = np.zeros((B, Sp), np.float32)
             for b, it in enumerate(items):
                 s = min(Ss[b], Sp)
@@ -238,6 +265,17 @@ class Transcriber:
             num_beams=num_beams if num_beams is not None else self.num_beams,
             max_new=self.max_new,
         )
+
+    def bucket_class(self, item: Dict[str, Optional[np.ndarray]],
+                     modality: str) -> Tuple[str, int]:
+        """The padded-window class this item decodes at alone. The HTTP
+        batcher groups requests by this key so batched results are exactly
+        the per-item ones (see transcribe_many)."""
+        if modality in ("video", "audiovisual"):
+            return ("v", bucket_ladder(len(item["video"]),
+                                       self.video_pad_multiple))
+        return ("a", bucket_ladder(len(item["audio"]),
+                                   640 * self.video_pad_multiple))
 
     def transcribe_file(
         self,

@@ -25,21 +25,20 @@ def transcriber():
 
 
 def test_transcribe_many_matches_single(transcriber):
+    """Items in the SAME bucket class (the batcher's grouping key) decode
+    identically batched or alone — composition-independence (ADVICE r3)."""
+    from omni_avsr_tpu.serve import bucket_ladder
+
     rng = np.random.RandomState(0)
-    items = [{"audio": (rng.randn(16000 + 3000 * i) * 0.1).astype(np.float32)}
+    items = [{"audio": (rng.randn(16000 + 1500 * i) * 0.1).astype(np.float32)}
              for i in range(3)]
+    base = 640 * transcriber.video_pad_multiple
+    classes = {bucket_ladder(len(it["audio"]), base) for it in items}
+    assert len(classes) == 1  # same class -> exactness guaranteed for ALL
     batched = transcriber.transcribe_many(items, modality="audio")
-    # NB: singles pad to their own bucket; use the same padded lengths by
-    # comparing against a batch of one item each at the shared bucket
-    singles = [transcriber.transcribe_many([it], modality="audio")[0]
-               for it in items]
+    singles = [transcriber.transcribe(audio=it["audio"]) for it in items]
     assert len(batched) == 3
-    for b in batched:
-        assert isinstance(b, str)
-    # the masked prefix keeps per-sample token counts exact, but the
-    # whisper bucket (audio_trim_len) depends on the batch max length —
-    # only the LONGEST item is guaranteed the same bucket alone vs batched
-    assert batched[2] == singles[2]
+    assert batched == singles
 
 
 def test_http_server_batches_concurrent_requests(transcriber):
@@ -117,3 +116,84 @@ def test_transcribe_many_audiovisual(transcriber):
     ]
     out = transcriber.transcribe_many(items)
     assert len(out) == 2 and all(isinstance(t, str) for t in out)
+
+
+def test_batcher_groups_by_bucket_class(transcriber):
+    """Requests in different padded-window classes decode in separate
+    batches, so each sees its own class's window (composition-independent
+    responses)."""
+    b = BatchingServer(transcriber, max_batch=4, max_wait_ms=150)
+    try:
+        rng = np.random.RandomState(4)
+        short = (rng.randn(12000) * 0.1).astype(np.float32)
+        long = (rng.randn(60000) * 0.1).astype(np.float32)
+        p1 = b.submit({"audio": short}, "audio", 2)
+        p2 = b.submit({"audio": long}, "audio", 2)
+        p3 = b.submit({"audio": short.copy()}, "audio", 2)
+        assert all(p.event.wait(300) for p in (p1, p2, p3))
+        assert all(p.error is None for p in (p1, p2, p3))
+        assert p2.batch_size == 1  # its own class
+        # the two short ones may or may not coalesce (queue order after the
+        # incompatible long one), but they must never batch WITH the long one
+        assert p1.batch_size <= 2 and p3.batch_size <= 2
+        # each request alone gives the identical transcript
+        assert p1.result == transcriber.transcribe(audio=short)
+        assert p2.result == transcriber.transcribe(audio=long)
+    finally:
+        b.shutdown()
+
+
+def test_http_rejects_modality_payload_mismatch(transcriber):
+    """modality='audiovisual' with no video payload must be a 400 at the
+    handler, not a 500 for the whole co-batch (ADVICE r3)."""
+    httpd, batcher = serve(transcriber, port=0, max_batch=4, max_wait_ms=50)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.RandomState(5)
+        audio = (rng.randn(16000) * 0.1).astype(np.float32)
+        payload = json.dumps({
+            "audio_b64": base64.b64encode(audio.tobytes()).decode(),
+            "modality": "audiovisual",
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe", data=payload,
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+        assert "requires" in json.loads(ei.value.read())["error"]
+
+        # unknown modality string is also a 400
+        payload = json.dumps({
+            "audio_b64": base64.b64encode(audio.tobytes()).decode(),
+            "modality": "telepathy",
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe", data=payload,
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
+        batcher.shutdown()
+
+
+def test_poison_request_does_not_fail_cobatch(transcriber):
+    """A request that explodes inside decode errors ALONE; co-batched
+    requests are retried individually and succeed (ADVICE r3)."""
+    b = BatchingServer(transcriber, max_batch=4, max_wait_ms=200)
+    try:
+        rng = np.random.RandomState(6)
+        good = (rng.randn(16000) * 0.1).astype(np.float32)
+        poison = np.zeros((7, 2), np.float32)  # 2-D audio: dies in collate
+        p_good = b.submit({"audio": good}, "audio", 2)
+        p_bad = b.submit({"audio": poison}, "audio", 2)
+        assert p_good.event.wait(300) and p_bad.event.wait(300)
+        assert p_bad.error is not None
+        assert p_good.error is None
+        assert p_good.result == transcriber.transcribe(audio=good)
+    finally:
+        b.shutdown()
