@@ -60,7 +60,7 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 
-    model = _flagship(tiny=False)
+    model = _flagship(tiny=os.environ.get("OMNI_BREAKDOWN_TINY") == "1")
     if os.environ.get("OMNI_WHISPER_INPUT") == "bucket":
         import dataclasses
 
@@ -174,10 +174,76 @@ def main():
                         "gflops": round(flops / 1e9, 1) if flops else None,
                         "mfu_pct": round(mfu, 1) if mfu is not None else None}
 
+    # ---- LLM-backward sub-attribution (VERDICT r3 item 5) -----------------
+    # fwd-only value: bwd cost = g_llm3 - this
+    @jax.jit
+    def llm3_fwd(trainable, frozen, batch, a, v):
+        def f(tr):
+            p = merged_of(tr, frozen)
+            text_emb = embed_tokens(p["llm"], batch["tokens"], jnp.bfloat16)
+            task_specific = bool(cfg.llm.lora and cfg.llm.lora.task_specific)
+            total = 0.0
+            for m in MODALITIES:
+                parts = {"audio": (a,), "video": (v,), "audiovisual": (a, v)}[m]
+                embeds, lab, span = model._assemble_task(
+                    p, m, parts, text_emb, batch["labels"])
+                tt, cc = llm_span_stats(
+                    p["llm"], cfg.llm, embeds, lab, span,
+                    modality=m if task_specific else None)
+                total = total + jnp.sum(tt) / jnp.maximum(jnp.sum(cc), 1)
+            return total / 3.0
+
+        return f(trainable)
+
+    # dgrad-only chain: differentiate wrt the ENCODER FEATURES with LoRA
+    # constant — same activation-gradient sweep, zero LoRA wgrads.
+    # (g_llm3 - g_llm3_dgrad) ~= the LoRA wgrad contractions' cost.
+    @jax.jit
+    def g_llm3_dgrad(trainable, frozen, batch, a, v):
+        p = merged_of(trainable, frozen)
+        text_emb = embed_tokens(p["llm"], batch["tokens"], jnp.bfloat16)
+        task_specific = bool(cfg.llm.lora and cfg.llm.lora.task_specific)
+
+        def f(av):
+            a_, v_ = av
+            total = 0.0
+            for m in MODALITIES:
+                parts = {"audio": (a_,), "video": (v_,),
+                         "audiovisual": (a_, v_)}[m]
+                embeds, lab, span = model._assemble_task(
+                    p, m, parts, text_emb, batch["labels"])
+                tt, cc = llm_span_stats(
+                    p["llm"], cfg.llm, embeds, lab, span,
+                    modality=m if task_specific else None)
+                total = total + jnp.sum(tt) / jnp.maximum(jnp.sum(cc), 1)
+            return total / 3.0
+
+        return jax.grad(f)((a, v))
+
     record("g_enc", _time(g_enc, state.trainable, frozen, batch, rng),
            _flops(g_enc, state.trainable, frozen, batch, rng))
     record("g_llm3", _time(g_llm3, state.trainable, frozen, batch, a_const, v_const),
            _flops(g_llm3, state.trainable, frozen, batch, a_const, v_const))
+    record("llm3_fwd", _time(llm3_fwd, state.trainable, frozen, batch,
+                             a_const, v_const),
+           _flops(llm3_fwd, state.trainable, frozen, batch, a_const, v_const))
+    record("g_llm3_dgrad", _time(g_llm3_dgrad, state.trainable, frozen, batch,
+                                 a_const, v_const),
+           _flops(g_llm3_dgrad, state.trainable, frozen, batch,
+                  a_const, v_const))
+    # remat-policy ablation: maybe_remat reads OMNI_REMAT at TRACE time, so
+    # each mode gets a fresh jit of the same python callable
+    base_mode = os.environ.get("OMNI_REMAT", "dots")
+    for mode in ("off", "full"):
+        if mode == base_mode:
+            continue
+        os.environ["OMNI_REMAT"] = mode
+        g_mode = jax.jit(g_llm3.__wrapped__)
+        record(f"g_llm3_remat_{mode}",
+               _time(g_mode, state.trainable, frozen, batch, a_const, v_const),
+               _flops(g_mode, state.trainable, frozen, batch,
+                      a_const, v_const))
+    os.environ["OMNI_REMAT"] = base_mode
     record("g_full", _time(g_full, state.trainable, frozen, batch, rng),
            _flops(g_full, state.trainable, frozen, batch, rng))
     record("opt", _time(opt_only, grads, state.opt_state, state.trainable),

@@ -1,0 +1,201 @@
+"""Scaled WER-neutrality probe for the decode fast paths (VERDICT r3 item 4).
+
+Trains a deeper-than-smoke tiny Omni model on a >=32-clip synthetic corpus
+until it fits the data, then decodes BOTH the memorized train split (the
+contentful-transcript regime where quantization noise can actually flip
+tokens) and the unseen test split at recipe-like settings — beam 15,
+32 max tokens (`Omni_AVSR/modeling_OmniAVSR.py:312-322`) — across the full
+task x matryoshka-rate grid, comparing:
+
+  bf16    — baseline (reference-exact numerics)
+  int8    — weight-only per-channel int8 (`ops/quant.py`), the bench default
+  int4    — round-to-nearest int4 NUMERICS in an int8 container
+            (`quantize_per_channel(bits=4)`) — the WER side of the int4
+            study; the packed runtime is relay-blocked (PARITY.md)
+  bucket  — bucketed Whisper window (`whisper_input_mode="bucket"`), the
+            other bench default
+
+Usage (ledger table):  python benchmarks/wer_probe.py [--clips 32] [--beams 15]
+The slow test (tests/test_wer_probe_scaled.py) runs the same harness and
+asserts int8/bucket WER-neutrality + transcript agreement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import tempfile
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+
+
+def build_probe_model(llm_layers: int = 4):
+    """The smoke-test tiny model (cli/common.py::tiny_dims) deepened to
+    `llm_layers` decoder layers, with the full 2x2 matryoshka rate grid."""
+    from omni_avsr_tpu.cli.train_omni import parse_args
+    from omni_avsr_tpu.cli.common import build_model
+    from omni_avsr_tpu.models.omni import OmniAVSR
+
+    args = parse_args([
+        "--tiny", "true", "--exp-dir", "/tmp/unused",
+        "--downsample-ratio-audio", "4", "8",
+        "--downsample-ratio-video", "2", "3",
+        "--is-matryoshka", "true",
+    ])
+    model = build_model(args)
+    cfg = dataclasses.replace(
+        model.cfg,
+        llm=dataclasses.replace(model.cfg.llm, num_layers=llm_layers),
+    )
+    return OmniAVSR(cfg, model.tok)
+
+
+def rate_grid(model) -> List[Tuple[str, Optional[int], Optional[int]]]:
+    """All three tasks x their matryoshka rates (cli/eval_omni.py grid)."""
+    grid: List[Tuple[str, Optional[int], Optional[int]]] = []
+    grid += [("audio", ra, None) for ra in model.cfg.audio_rates]
+    grid += [("video", None, rv) for rv in model.cfg.video_rates]
+    grid += [("audiovisual", ra, rv)
+             for ra in model.cfg.audio_rates for rv in model.cfg.video_rates]
+    return grid
+
+
+def run_probe(
+    exp_dir: Optional[str] = None,
+    n_clips: int = 32,
+    n_test: int = 8,
+    epochs: int = 24,
+    num_beams: int = 15,
+    max_new: int = 32,
+    lr: float = 6e-3,
+    llm_layers: int = 4,
+    batch_size: int = 8,
+    seed: int = 0,
+    verbose: bool = True,
+    tasks: Optional[Tuple[str, ...]] = None,  # None = all three
+    splits: Tuple[str, ...] = ("trainmem", "test"),
+) -> Dict:
+    """Returns {"settings": {...}, "grid": {setting: {mode: {"wer", "agree",
+    "hyps"}}}} — `agree` is token-for-token transcript agreement vs bf16."""
+    from omni_avsr_tpu.config import DataConfig, TrainConfig
+    from omni_avsr_tpu.data.datamodule import DataModule
+    from omni_avsr_tpu.data.synthetic import generate_corpus
+    from omni_avsr_tpu.models.omni import OmniAVSR
+    from omni_avsr_tpu.ops.quant import quantize_decode_params
+    from omni_avsr_tpu.train.engine import OmniEngine
+    from omni_avsr_tpu.utils.metrics import WerAccumulator
+
+    exp_dir = exp_dir or tempfile.mkdtemp(prefix="wer_probe_")
+    data_dir = os.path.join(exp_dir, "synthetic_data")
+    os.makedirs(data_dir, exist_ok=True)
+    # fixed clip length -> one static trim per task (bounds CPU compiles);
+    # 6-10 words -> contentful multi-token transcripts to disturb
+    train_csv, val_csv, test_csv = generate_corpus(
+        data_dir, n_train=n_clips, n_val=2, n_test=n_test,
+        min_frames=48, max_frames=48, min_words=6, max_words=10, seed=seed,
+    )
+
+    model = build_probe_model(llm_layers)
+    params = model.init_params(jax.random.PRNGKey(seed))
+
+    def data_cfg(eval_file: str) -> DataConfig:
+        return DataConfig(
+            root_dir=data_dir, train_file=train_csv, val_file=val_csv,
+            test_file=eval_file, max_frames_audiovisual=200,
+            train_num_buckets=4, num_workers=2,
+        )
+
+    engine = OmniEngine(model, params, TrainConfig(lr=lr, max_epochs=epochs),
+                        float(epochs), seed=seed)
+    dm_train = DataModule(data_cfg(train_csv), model.tok, modality="audiovisual")
+    for ep in range(epochs):
+        last = None
+        for batch in dm_train.train_batches(ep):
+            last = engine.train_step(batch)
+        if verbose and (ep + 1) % 4 == 0:
+            print(f"epoch {ep + 1}/{epochs} loss={float(last):.3f}", flush=True)
+
+    merged = engine.merged_params()
+    trees = {
+        "bf16": merged,
+        "int8": quantize_decode_params(merged),
+        "int4": quantize_decode_params(merged, bits=4),
+    }
+    # bucket mode: same weights through a bucketed-Whisper-window engine
+    model_b = OmniAVSR(
+        dataclasses.replace(model.cfg, whisper_input_mode="bucket"), model.tok)
+    engine_b = OmniEngine(model_b, model_b.init_params(jax.random.PRNGKey(1)),
+                          TrainConfig(), 1.0, seed=seed, inference_only=True)
+    engines = {m: engine for m in trees} | {"bucket": engine_b}
+    trees["bucket"] = merged
+
+    results: Dict[str, Dict] = {}
+    split_files = {"trainmem": train_csv, "test": test_csv}
+    for split_name in splits:
+        eval_csv = split_files[split_name]
+        for task, ra, rv in rate_grid(model):
+            if tasks is not None and task not in tasks:
+                continue
+            dm = DataModule(data_cfg(eval_csv), model.tok, modality=task)
+            batches = list(dm.test_batches(batch_size))
+            cell: Dict[str, Dict] = {}
+            for mode in ("bf16", "int8", "int4", "bucket"):
+                acc, hyps, refs = WerAccumulator(), [], []
+                for batch in batches:
+                    out = engines[mode].decode_batch(
+                        trees[mode], dict(batch), task, ra, rv,
+                        num_beams=num_beams, max_new=max_new)
+                    hyps.extend(out)
+                    refs.extend(batch["gold_text"])
+                    for ref, hyp in zip(batch["gold_text"], out):
+                        acc.update(ref, hyp)
+                agree = float(np.mean(
+                    [a == b for a, b in zip(cell["bf16"]["hyps"], hyps)])
+                ) if mode != "bf16" else 1.0
+                cell[mode] = {"wer": acc.wer, "agree": agree, "hyps": hyps}
+            key = f"{split_name}/{task}(a={ra},v={rv})"
+            results[key] = cell
+            if verbose:
+                row = " ".join(
+                    f"{m}:wer={cell[m]['wer']:.3f},agr={cell[m]['agree']:.2f}"
+                    for m in ("bf16", "int8", "int4", "bucket"))
+                print(f"{key}: {row}", flush=True)
+
+    return {
+        "settings": {
+            "n_clips": n_clips, "n_test": n_test, "epochs": epochs,
+            "num_beams": num_beams, "max_new": max_new,
+            "llm_layers": llm_layers, "seed": seed,
+        },
+        "grid": results,
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("wer_probe")
+    p.add_argument("--clips", type=int, default=32)
+    p.add_argument("--test-clips", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=24)
+    p.add_argument("--beams", type=int, default=15)
+    p.add_argument("--max-new", type=int, default=32)
+    p.add_argument("--llm-layers", type=int, default=4)
+    p.add_argument("--output-json", default=None)
+    args = p.parse_args(argv)
+    res = run_probe(n_clips=args.clips, n_test=args.test_clips,
+                    epochs=args.epochs, num_beams=args.beams,
+                    max_new=args.max_new, llm_layers=args.llm_layers)
+    if args.output_json:
+        slim = {k: {m: {kk: vv for kk, vv in c[m].items() if kk != "hyps"}
+                    for m in c} for k, c in res["grid"].items()}
+        with open(args.output_json, "w") as f:
+            json.dump({"settings": res["settings"], "grid": slim}, f, indent=1)
+    return res
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,8 @@ def generate_corpus(
     n_test: int = 2,
     min_frames: int = 24,
     max_frames: int = 60,
+    min_words: int = 2,
+    max_words: int = 5,
     seed: int = 0,
 ) -> Tuple[str, str, str]:
     """Writes clips + manifests; returns (train_csv, val_csv, test_csv)."""
@@ -73,7 +75,7 @@ def generate_corpus(
             base = f"{name}_{i:04d}"
             video_path = _write_video(os.path.join(clip_dir, base + ".mp4"), frames)
             _write_wav(os.path.join(clip_dir, base + ".wav"), audio)
-            n_words = int(rng.randint(2, 6))
+            n_words = int(rng.randint(min_words, max_words + 1))
             text = " ".join(rng.choice(WORDS) for _ in range(n_words))
             rel = os.path.basename(video_path)
             rows.append(f"{ds},{rel},{T},0,{text}")

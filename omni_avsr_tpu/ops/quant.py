@@ -24,12 +24,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def quantize_per_channel(w: jax.Array) -> Dict[str, jax.Array]:
-    """(in, out) float -> {"w": int8, "s": f32 per-out-channel scale}."""
+def quantize_per_channel(w: jax.Array, bits: int = 8) -> Dict[str, jax.Array]:
+    """(in, out) float -> {"w": int8, "s": f32 per-out-channel scale}.
+
+    bits=4 emulates round-to-nearest int4 numerics in an int8 container
+    (values in [-7, 7]): the dequant math and every downstream execution
+    path are identical, so the WER impact of int4 RTN can be studied now
+    even though the packed-int4 runtime is blocked by the dev relay
+    (S4 buffer RecursionError — PARITY.md int4 note)."""
+    qmax = float(2 ** (bits - 1) - 1)  # 127 int8 / 7 int4
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=0)  # (out,)
-    scale = jnp.maximum(amax / 127.0, 1e-12)
-    q = jnp.clip(jnp.round(wf / scale[None, :]), -127, 127).astype(jnp.int8)
+    scale = jnp.maximum(amax / qmax, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale[None, :]), -qmax, qmax).astype(jnp.int8)
     return {"w": q, "s": scale}
 
 
@@ -104,11 +111,13 @@ def quantized_matmul(
 # ---------------------------------------------------------------------------
 
 
-def quantize_llm_params(params: Dict, quantize_unembed: bool = True) -> Dict:
+def quantize_llm_params(params: Dict, quantize_unembed: bool = True,
+                        bits: int = 8) -> Dict:
     """Quantize the big frozen LLM matrices (layers' attn/mlp + unembedding)
     to int8; LoRA adapters, norms, biases, and the embed lookup table stay
     bf16/f32. For tied models an int8 unembedding COPY is installed under
     "lm_head" (models.llm.lm_head prefers it)."""
+    quant = functools.partial(quantize_per_channel, bits=bits)
     out = dict(params)
     layers = dict(params["layers"])
     for blk_name in ("attn", "mlp"):
@@ -116,18 +125,18 @@ def quantize_llm_params(params: Dict, quantize_unembed: bool = True) -> Dict:
         for k, leaf in blk.items():
             # stacked (L, in, out) weights: vmap the per-matrix quantizer
             # so the scheme lives in exactly one place
-            blk[k] = {**leaf, **jax.vmap(quantize_per_channel)(leaf["w"])}
+            blk[k] = {**leaf, **jax.vmap(quant)(leaf["w"])}
         layers[blk_name] = blk
     out["layers"] = layers
     if quantize_unembed:
         if "lm_head" in params:
-            out["lm_head"] = quantize_per_channel(params["lm_head"]["w"])
+            out["lm_head"] = quant(params["lm_head"]["w"])
         else:  # tied embeddings: quantize a transposed copy for the head
-            out["lm_head"] = quantize_per_channel(params["embed"]["w"].T)
+            out["lm_head"] = quant(params["embed"]["w"].T)
     return out
 
 
-def quantize_tower_params(params: Dict) -> Dict:
+def quantize_tower_params(params: Dict, bits: int = 8) -> Dict:
     """Quantize a frozen encoder tower's stacked transformer matrices (the
     `layers` subtree's attn q/k/v/o and fc weights, (L, in, out)) to int8.
 
@@ -135,13 +144,15 @@ def quantize_tower_params(params: Dict) -> Dict:
     but consumed by conv ops, not `linear` — they live OUTSIDE `layers`),
     norms/biases, and LoRA adapters (tiny traffic; skipped by name so their
     scaling math is untouched)."""
+    quant = functools.partial(quantize_per_channel, bits=bits)
+
     def walk(node, in_layers: bool):
         if not isinstance(node, dict):
             return node
         w = node.get("w")
         if (in_layers and w is not None and hasattr(w, "ndim")
                 and w.ndim == 3 and w.dtype != jnp.int8):
-            return {**node, **jax.vmap(quantize_per_channel)(w)}
+            return {**node, **jax.vmap(quant)(w)}
         return {
             k: (v if k == "lora" else walk(v, in_layers or k == "layers"))
             for k, v in node.items()
@@ -150,21 +161,26 @@ def quantize_tower_params(params: Dict) -> Dict:
     return walk(params, False)
 
 
-def quantize_decode_params(merged: Dict, fuse_projections: bool = True) -> Dict:
+def quantize_decode_params(merged: Dict, fuse_projections: bool = True,
+                           bits: int = 8) -> Dict:
     """int8 weight-only quantization of ALL frozen decode-path weights:
     the LLM (quantize_llm_params) plus the Whisper and AV-HuBERT encoder
     towers. One call site for `--quantize-decode int8` / serving.
 
     fuse_projections concatenates q|k|v and gate|up into single decode
     streams (bit-exact, see fuse_decode_projections); pass False when the
-    tree will be mesh-sharded (decode_partition_specs shards them apart)."""
+    tree will be mesh-sharded (decode_partition_specs shards them apart).
+
+    bits=4 runs the same pipeline at int4-RTN numerics (int8 container;
+    see quantize_per_channel) — the WER-side study for the blocked packed
+    runtime."""
     out = dict(merged)
-    out["llm"] = quantize_llm_params(merged["llm"])
+    out["llm"] = quantize_llm_params(merged["llm"], bits=bits)
     if fuse_projections:
         out["llm"] = fuse_decode_projections(out["llm"])
     for tower in ("whisper", "avhubert"):
         if tower in merged:
-            out[tower] = quantize_tower_params(merged[tower])
+            out[tower] = quantize_tower_params(merged[tower], bits=bits)
     return out
 
 
