@@ -58,7 +58,25 @@ def main():
     merged = engine.merged_params()
     # int8 weight-only decode is the default (WER-neutral per
     # tests/test_int8_wer.py); BENCH_INT8=0 for bf16 weights.
-    if os.environ.get("BENCH_INT8", "1") not in ("0", ""):
+    # BENCH_QUANT=int4 opts into the packed-int4 LLM runtime (uint8 nibble
+    # container, ops/quant.py::pack_llm_int4; int4-RTN numerics gated by
+    # benchmarks/wer_probe.py — needs real-ckpt WER before promotion).
+    quant_mode = os.environ.get("BENCH_QUANT", "")
+    if not quant_mode:
+        quant_mode = ("int8" if os.environ.get("BENCH_INT8", "1")
+                      not in ("0", "") else "")
+    if quant_mode == "int4":
+        from omni_avsr_tpu.ops.quant import (
+            fuse_decode_projections, pack_llm_int4, quantize_llm_params,
+            quantize_tower_params,
+        )
+
+        merged = dict(merged)
+        merged["llm"] = pack_llm_int4(fuse_decode_projections(
+            quantize_llm_params(merged["llm"], bits=4)))
+        for tower in ("whisper", "avhubert"):
+            merged[tower] = quantize_tower_params(merged[tower], bits=8)
+    elif quant_mode == "int8":
         from omni_avsr_tpu.ops.quant import quantize_decode_params
 
         merged = quantize_decode_params(merged)

@@ -52,12 +52,14 @@ def main():
         return engine.train_step(b)
 
     # warm up EVERY matryoshka rate combo deterministically (each is its
-    # own XLA program; engine.train_step samples one per call)
+    # own XLA program; engine.train_step samples one per call). The key must
+    # come from the engine so its PRNG impl (OMNI_PRNG, rbg default) matches
+    # the timed path — a raw PRNGKey here would warm a different program.
     arrays = {k: jnp.asarray(v) for k, v in batch.items()}
     for ra in model.cfg.audio_rates:
         for rv in model.cfg.video_rates:
             engine.state, loss = engine._train_step(
-                engine.state, engine.frozen, dict(arrays), jax.random.PRNGKey(0),
+                engine.state, engine.frozen, dict(arrays), engine._next_rng(),
                 rate_a=ra, rate_v=rv, trim_len=trim,
             )
     _ = float(loss)  # sync

@@ -27,6 +27,17 @@ def linear(x: jax.Array, p: Params) -> jax.Array:
     (ops/quant.py): the convert fuses into the matmul read so int8 is what
     crosses HBM; the per-channel scale applies to the f32 accumulator.
     """
+    if "w4" in p:  # packed-int4 nibble container (ops/quant.py::pack_int4)
+        from ..ops.quant import quantized_matmul4
+
+        lead = x.shape[:-1]
+        xm = x.reshape(-1, x.shape[-1])
+        bm = min(128, ((xm.shape[0] + 7) // 8) * 8)  # sublane-aligned M tile
+        y = quantized_matmul4(xm, p, block_m=bm).reshape(*lead, -1)
+        b = p.get("b")
+        if b is not None:
+            y = y + b.astype(x.dtype)
+        return y
     w = p["w"]
     if w.dtype == jnp.int8:
         y = jnp.einsum(

@@ -276,6 +276,15 @@ def lm_head(params: Params, cfg: LLMConfig, x: jax.Array) -> jax.Array:
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
     if "lm_head" in params:
         head = params["lm_head"]
+        if "w4" in head:  # packed-int4 unembedding (ops/quant.py::pack_int4)
+            from ..ops.quant import quantized_matmul4
+
+            B, T, H = x.shape
+            logits = quantized_matmul4(
+                x.reshape(B * T, H), head,
+                block_m=min(128, ((B * T + 7) // 8) * 8),
+                out_dtype=jnp.float32)
+            return logits.reshape(B, T, -1)
         w, scale = head["w"], head.get("s")
     else:
         w, scale = params["embed"]["w"].T, None

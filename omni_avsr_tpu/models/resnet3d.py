@@ -15,6 +15,7 @@ PReLU) -> global avg-pool -> (B, T, 512).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -34,8 +35,18 @@ def _bn(x: jax.Array, p: Params, train_mode: bool, eps: float = 1e-5) -> jax.Arr
     if train_mode:
         axes = tuple(range(x.ndim - 1))
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=axes)
-        var = jnp.var(xf, axis=axes)
+        if os.environ.get("OMNI_BN_STATS", "onepass") == "onepass":
+            # E[x^2]-E[x]^2: both reductions read the conv output ONCE and
+            # fuse into its epilogue; jnp.var's E[(x-mean)^2] forces a second
+            # full pass over the tensor (the stats result feeds a re-read).
+            # f32 accumulation over BN-scale activations — cancellation-safe;
+            # clamped for the var≈0 corner. OMNI_BN_STATS=twopass restores
+            # the textbook form.
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.maximum(jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean), 0.0)
+        else:
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.var(xf, axis=axes)
         inv = jax.lax.rsqrt(var + eps)
         y = (xf - mean) * inv * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
         return y.astype(x.dtype)
@@ -152,12 +163,12 @@ def init_resnet3d(rng: jax.Array, relu_type: str = "prelu", dtype=jnp.float32) -
     return params
 
 
-def resnet3d_forward(
+def stem_pool(
     params: Params,
     video: jax.Array,  # (B, T, H, W, C=1)
     train_mode: bool = False,
 ) -> jax.Array:
-    """Returns per-frame features (B, T, 512)."""
+    """3D stem conv + BN + PReLU + MaxPool; returns (B*T, H/4, W/4, 64)."""
     B, T, H, W, C = video.shape
     x = video
 
@@ -182,12 +193,22 @@ def resnet3d_forward(
     Bp, Tp, Hp, Wp, _ = xp.shape
     z = xp.reshape(Bp, Tp, Hp // 2, 2, Wp // 2, 2, 1)
     z = z.transpose(0, 1, 2, 4, 3, 5, 6).reshape(Bp, Tp, Hp // 2, Wp // 2, 4)
+    # Time-window-to-channels: XLA's NDHWC 3D conv lowering runs this stem
+    # at ~5% MFU / 6.5x its HBM floor (benchmarks/resnet_breakdown.py,
+    # docs/ROUND4_NOTES.md) — the D=5 window defeats its tiling. Stacking
+    # the 5 time slices as channels turns it into ONE dense 2D conv with
+    # K = 5*4*4*4 = 320 contraction taps over B*T frames — identical
+    # arithmetic (out[t] = sum_d conv2d(z[t+d-2], w4[d])), MXU-friendly.
+    zz = jnp.concatenate([z[:, d:d + T] for d in range(kD)], axis=-1)
+    w2 = w4.transpose(1, 2, 0, 3, 4).reshape(
+        (kH + 1) // 2, (kW + 1) // 2, kD * 4, CO)
     x = jax.lax.conv_general_dilated(
-        z, w4,
-        window_strides=(1, 1, 1),
+        zz.reshape(Bp * T, Hp // 2, Wp // 2, kD * 4), w2,
+        window_strides=(1, 1),
         padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+    x = x.reshape(Bp, T, x.shape[1], x.shape[2], CO)
     x = _bn(x, stem["bn"], train_mode)
     x = _act(x, stem, "prelu")
     # MaxPool3d k=(1,3,3) s=(1,2,2) p=(0,1,1): time untouched -> fold T into
@@ -204,14 +225,28 @@ def resnet3d_forward(
         window_strides=(1, 2, 2, 1),
         padding=((0, 0), (1, 1), (1, 1), (0, 0)),
     )
+    return x
 
-    # 2D ResNet-18 trunk over B*T frames
-    for li, (name, stride) in enumerate(
-        (("layer1", 1), ("layer2", 2), ("layer3", 2), ("layer4", 2))
-    ):
-        blocks = params[name]
-        x = _basic_block(blocks["b0"], x, stride, train_mode)
-        x = _basic_block(blocks["b1"], x, 1, train_mode)
 
+def trunk_layer(
+    params: Params, name: str, x: jax.Array, train_mode: bool = False
+) -> jax.Array:
+    """One ResNet-18 layer (two BasicBlocks) over (B*T, H, W, C) frames."""
+    stride = 1 if name == "layer1" else 2
+    blocks = params[name]
+    x = _basic_block(blocks["b0"], x, stride, train_mode)
+    return _basic_block(blocks["b1"], x, 1, train_mode)
+
+
+def resnet3d_forward(
+    params: Params,
+    video: jax.Array,  # (B, T, H, W, C=1)
+    train_mode: bool = False,
+) -> jax.Array:
+    """Returns per-frame features (B, T, 512)."""
+    B, T = video.shape[:2]
+    x = stem_pool(params, video, train_mode)
+    for name in ("layer1", "layer2", "layer3", "layer4"):
+        x = trunk_layer(params, name, x, train_mode)
     x = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1)
-    return x.reshape(B, Tn, -1)
+    return x.reshape(B, T, -1)

@@ -107,6 +107,131 @@ def quantized_matmul(
 
 
 # ---------------------------------------------------------------------------
+# Packed int4: uint8 container, two weights per byte
+# ---------------------------------------------------------------------------
+#
+# The dev relay cannot materialise S4 buffers (RecursionError in the plugin
+# dispatch — PARITY.md int4 note), so the native jnp.int4 route is blocked.
+# This path never creates an int4 buffer: weights are stored OFFSET-BINARY
+# (w+8 in [0,15]) two-per-uint8 and unpacked in-register inside a Pallas
+# kernel, so what crosses HBM is half the int8 byte count.
+#
+# Packing layout: columns are grouped in `block_n`-wide chunks matching the
+# kernel's output tile; within a chunk the first half lives in the low
+# nibble and the second half in the high nibble of the same byte column.
+# The unpack is then PURE ELEMENTWISE on the loaded tile (no cross-lane
+# interleave, the classic TPU int4 relayout trap) and the two halves feed
+# two MXU dots into adjacent accumulator slices, keeping the output tile's
+# columns in original order.
+
+
+def pack_int4(q: Dict[str, jax.Array], block_n: int = 512) -> Dict[str, jax.Array]:
+    """{"w": int8 in [-7,7] (K, N), "s": (N,)} (a quantize_per_channel
+    bits=4 container) -> {"w4": uint8 (K, n_chunks, block_n//2), "s": (N,)}.
+
+    All layout metadata lives in SHAPES (block_n = 2*w4.shape[-1], padded
+    N = chunks*block_n, true N = s.shape[-1]) so the container stays a
+    plain pytree usable under jit/scan/vmap."""
+    w, s = q["w"], q["s"]
+    K, N = w.shape
+    bn2 = block_n // 2
+    Np = ((N + block_n - 1) // block_n) * block_n
+    wp = jnp.pad(w, ((0, 0), (0, Np - N)))
+    g = wp.reshape(K, Np // block_n, 2, bn2)
+    # Mixed nibble encodings, chosen so the kernel unpack is two MASKS +
+    # two i8->bf16 converts and nothing else (Mosaic legalizes neither
+    # 8-bit shifts — arith.shrsi on vector<i8> — nor uint8->bf16 casts):
+    #   low  half-byte: OFFSET-BINARY lo+8 in [0,15]  -> (p & 0x0F) is
+    #     positive in int8; the +8 folds into the output tile at finalize
+    #     via the accumulated row-sum of x (dot(x, c+8) = dot(x,c)+8*rowsum)
+    #   high half-byte: SIGNED hi in [-8,7]           -> (p & 0xF0) as a
+    #     signed byte is EXACTLY 16*hi; the *16 folds into the scale.
+    # The unpack is VPU-bound, so every per-byte op counts.
+    lo = g[:, :, 0, :].astype(jnp.int32) + 8
+    hi = (g[:, :, 1, :].astype(jnp.int32) & 0xF) << 4
+    return {"w4": jax.lax.bitcast_convert_type(
+        (lo | hi).astype(jnp.uint8), jnp.int8), "s": s}
+
+
+def _qmm4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, sx_ref,
+                 *, n_k: int, bn2: int):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        sx_ref[:] = jnp.zeros_like(sx_ref)
+
+    x = x_ref[:]  # (BM, BK) bf16
+    p = w_ref[:]  # (BK, BN2) nibble pairs, int8 (see pack_int4 encoding)
+    lo = (p & 0x0F).astype(x.dtype)  # lo+8 in [0,15], exact in bf16
+    hi = (p & 0xF0).astype(x.dtype)  # == 16*hi in [-128,112], exact in bf16
+    dn = (((1,), (0,)), ((), ()))
+    acc_ref[:, :bn2] += jax.lax.dot_general(
+        x, lo, dn, preferred_element_type=jnp.float32)
+    acc_ref[:, bn2:] += jax.lax.dot_general(
+        x, hi, dn, preferred_element_type=jnp.float32)
+    sx_ref[:] += jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+
+    @pl.when(ik == n_k - 1)
+    def _finalize():
+        # low half: dot(x, lo+8) = dot(x, lo) + 8*rowsum(x) -> subtract;
+        # high half: accumulated 16*dot(x, hi) -> scale absorbs the /16
+        sx = sx_ref[:]
+        s = s_ref[:].astype(jnp.float32)
+        o_ref[:, :bn2] = ((acc_ref[:, :bn2] - 8.0 * sx)
+                          * s[:, :bn2]).astype(o_ref.dtype)
+        o_ref[:, bn2:] = (acc_ref[:, bn2:]
+                          * (s[:, bn2:] * 0.0625)).astype(o_ref.dtype)
+
+
+def quantized_matmul4(
+    x: jax.Array,  # (M, K) bf16/f32
+    q4: Dict[str, jax.Array],  # pack_int4 output
+    block_m: int = 128,
+    block_k: int = 512,
+    interpret: bool = False,
+    out_dtype=None,
+) -> jax.Array:
+    """Pallas tiled packed-int4-weight matmul; uint8 nibble pairs are all
+    that crosses HBM for the weights (~half the int8 stream)."""
+    M, K = x.shape
+    bn2 = int(q4["w4"].shape[-1])
+    block_n = 2 * bn2
+    N = int(q4["s"].shape[-1])
+    w4 = q4["w4"].reshape(K, -1)
+    Np2 = w4.shape[1]
+    Np = 2 * Np2
+
+    def rup(a, m):
+        return ((a + m - 1) // m) * m
+
+    Mp, Kp = rup(M, block_m), rup(K, block_k)
+    xp = jnp.pad(x, ((0, Mp - M), (0, Kp - K)))
+    wp = jnp.pad(w4, ((0, Kp - K), (0, 0)))
+    # scales, re-ordered to the packed column layout: chunk c's output tile
+    # is [lo half | hi half] which IS original order within the chunk
+    sp = jnp.pad(q4["s"], (0, Np - N)).reshape(1, Np)
+
+    grid = (Mp // block_m, Np // block_n, Kp // block_k)
+    out = pl.pallas_call(
+        functools.partial(_qmm4_kernel, n_k=grid[2], bn2=bn2),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
+            pl.BlockSpec((block_k, bn2), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32),
+                        pltpu.VMEM((block_m, 1), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype or x.dtype),
+        interpret=interpret,
+    )(xp, wp, sp)
+    return out[:M, :N]
+
+
+# ---------------------------------------------------------------------------
 # Param-tree quantization for decode
 # ---------------------------------------------------------------------------
 
@@ -159,6 +284,36 @@ def quantize_tower_params(params: Dict, bits: int = 8) -> Dict:
         }
 
     return walk(params, False)
+
+
+def pack_llm_int4(llm: Dict, block_n: int = 512) -> Dict:
+    """Convert every int4-RTN int8-container leaf {"w": int8, "s"} in a
+    quantized (and optionally projection-fused) LLM tree to the packed
+    uint8 nibble format {"w4", "s"} (stacked (L, ...) leaves vmapped).
+    Run AFTER quantize_llm_params(bits=4) [+ fuse_decode_projections]:
+    numerics are bit-identical to the int8-container emulation, so the
+    scaled WER probe's int4 rows gate this runtime too."""
+
+    def pack_leaf(leaf: Dict) -> Dict:
+        w, s = leaf["w"], leaf["s"]
+        if w.ndim == 2:
+            packed = pack_int4({"w": w, "s": s}, block_n)
+        else:  # stacked (L, in, out)
+            packed = jax.vmap(
+                lambda ww, ss: pack_int4({"w": ww, "s": ss}, block_n))(w, s)
+        rest = {k: v for k, v in leaf.items() if k not in ("w", "s")}
+        return {**rest, **packed}
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        w = node.get("w")
+        if w is not None and hasattr(w, "dtype") and w.dtype == jnp.int8 \
+                and "s" in node:
+            return pack_leaf(node)
+        return {k: walk(v) for k, v in node.items()}
+
+    return walk(llm)
 
 
 def quantize_decode_params(merged: Dict, fuse_projections: bool = True,

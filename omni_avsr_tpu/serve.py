@@ -65,6 +65,27 @@ class Transcriber:
             # rules shard those projections separately
             self.params = quantize_decode_params(
                 self.params, fuse_projections=mesh is None)
+        elif quantize == "int4":
+            # Packed uint8 nibble runtime for the LLM (relay-safe: no S4
+            # buffers), numerically identical to the int8-container int4
+            # RTN emulation the scaled WER probe gates. LLM-only: the
+            # decode loop streams LLM weights every token; the towers
+            # amortise over the utterance and stay int8.
+            from .ops.quant import (
+                fuse_decode_projections,
+                pack_llm_int4,
+                quantize_llm_params,
+                quantize_tower_params,
+            )
+
+            assert mesh is None, "int4 packed runtime is single-chip"
+            self.params = dict(self.params)
+            llm = quantize_llm_params(self.params["llm"], bits=4)
+            self.params["llm"] = pack_llm_int4(fuse_decode_projections(llm))
+            for tower in ("whisper", "avhubert"):
+                if tower in self.params:
+                    self.params[tower] = quantize_tower_params(
+                        self.params[tower], bits=8)
         self.mesh = mesh
         if mesh is not None:
             from .ops.beam_attention import beam_attn_shardable

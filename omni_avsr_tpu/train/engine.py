@@ -18,6 +18,7 @@ weights every token equally across the mesh — no correction needed.
 from __future__ import annotations
 
 import functools
+import os
 import random
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -57,7 +58,16 @@ class OmniEngine:
         self.noise_bank = jnp.asarray(noise_bank) if noise_bank is not None else None
         self.decode_snr_target = decode_snr_target
         self._py_rng = random.Random(seed)
-        self._rng_key = jax.random.PRNGKey(seed)
+        # Dropout/augment bit generation: the default threefry2x32 runs as
+        # plain VPU arithmetic (~5 ms/step of mask bits at B12, ledger r3);
+        # `rbg` maps to XLA's RngBitGenerator -> the TPU hardware PRNG.
+        # Distribution-equivalent for masks (NOT bit-reproducible across
+        # impls); OMNI_PRNG=threefry restores the old stream.
+        impl = os.environ.get("OMNI_PRNG", "rbg")
+        self._rng_key = (
+            jax.random.PRNGKey(seed) if impl == "threefry"
+            else jax.random.key(seed, impl=impl)
+        )
 
         pred = model.trainable_predicate(unfrozen_modules)
         trainable, frozen = split_params(params, pred)
