@@ -65,21 +65,10 @@ def main():
     if not quant_mode:
         quant_mode = ("int8" if os.environ.get("BENCH_INT8", "1")
                       not in ("0", "") else "")
-    if quant_mode == "int4":
-        from omni_avsr_tpu.ops.quant import (
-            fuse_decode_projections, pack_llm_int4, quantize_llm_params,
-            quantize_tower_params,
-        )
+    if quant_mode:
+        from omni_avsr_tpu.ops.quant import quantize_for_decode
 
-        merged = dict(merged)
-        merged["llm"] = pack_llm_int4(fuse_decode_projections(
-            quantize_llm_params(merged["llm"], bits=4)))
-        for tower in ("whisper", "avhubert"):
-            merged[tower] = quantize_tower_params(merged[tower], bits=8)
-    elif quant_mode == "int8":
-        from omni_avsr_tpu.ops.quant import quantize_decode_params
-
-        merged = quantize_decode_params(merged)
+        merged = quantize_for_decode(merged, quant_mode)
 
     # default = the WER-parity decode configuration
     # (`modeling_OmniAVSR.py:312-322`: beams 15, 32 new tokens);

@@ -35,8 +35,11 @@ def parse_args(argv=None):
     p.add_argument("--prompt", default="Transcribe speech to text.")
     p.add_argument("--downsample-ratio-test-matry", type=int, nargs="+", default=None,
                    help="[rate] or [video_rate, audio_rate] for AVSR")
-    p.add_argument("--quantize-decode", default=None, choices=[None, "int8"],
-                   help="weight-only int8 LLM for decode (halves HBM weight traffic)")
+    p.add_argument("--quantize-decode", default=None,
+                   choices=[None, "int8", "int4"],
+                   help="weight-only quantized decode: int8 halves HBM "
+                        "weight traffic; int4 = packed nibble runtime "
+                        "(opt-in, for native-S4 toolchains — PARITY.md)")
     p.add_argument("--test-batch-size", type=int, default=1,
                    help="decode N utterances at once (masked prefix keeps batch-1 semantics)")
     p.add_argument("--print-hyp", type=str2bool, default=True)
@@ -61,11 +64,11 @@ def main(argv=None):
         inference_only=True,
                         seed=args.seed)
     merged = engine.merged_params()
-    if args.quantize_decode == "int8":
-        from ..ops.quant import quantize_llm_params
+    if args.quantize_decode:
+        from ..ops.quant import quantize_for_decode
 
-        merged = dict(merged)
-        merged["llm"] = quantize_llm_params(merged["llm"])
+        merged = quantize_for_decode(merged, args.quantize_decode,
+                                     fuse_projections=False, llm_only=True)
 
     if args.downsample_ratio_test_matry:
         r = args.downsample_ratio_test_matry

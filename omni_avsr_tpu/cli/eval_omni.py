@@ -38,8 +38,11 @@ def parse_args(argv=None):
                    choices=[None, "audio", "video", "audiovisual"])
     p.add_argument("--test-specific-ratio", type=int, nargs="+", default=None,
                    help="[audio_rate] / [video_rate] / [audio_rate video_rate]")
-    p.add_argument("--quantize-decode", default=None, choices=[None, "int8"],
-                   help="weight-only int8 LLM for decode (halves HBM weight traffic)")
+    p.add_argument("--quantize-decode", default=None,
+                   choices=[None, "int8", "int4"],
+                   help="weight-only quantized decode: int8 halves HBM "
+                        "weight traffic; int4 = packed nibble runtime "
+                        "(opt-in, for native-S4 toolchains — PARITY.md)")
     p.add_argument("--test-batch-size", type=int, default=1,
                    help="decode N utterances at once (masked prefix keeps batch-1 semantics)")
     p.add_argument("--print-hyp", type=str2bool, default=True,
@@ -86,11 +89,10 @@ def main(argv=None):
         inference_only=True, seed=args.seed,
     )
     merged = engine.merged_params()
-    if args.quantize_decode == "int8":
-        from ..ops.quant import quantize_decode_params
+    if args.quantize_decode:
+        from ..ops.quant import quantize_for_decode
 
-        merged = dict(merged)
-        merged = quantize_decode_params(merged)
+        merged = quantize_for_decode(merged, args.quantize_decode)
 
     if args.test_specific_modality:
         tasks = [args.test_specific_modality]

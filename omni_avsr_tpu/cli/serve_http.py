@@ -240,7 +240,8 @@ def main(argv=None):
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=30.0)
     p.add_argument("--num-beams", type=int, default=None)
-    p.add_argument("--quantize-decode", default=None, choices=[None, "int8"])
+    p.add_argument("--quantize-decode", default=None,
+                   choices=[None, "int8", "int4"])
     p.add_argument("--ckpt", default=None, help="orbax dir or torch .pth")
     p.add_argument("--llm-model", default="meta-llama/Llama-3.2-1B")
     p.add_argument("--synthetic", action="store_true",

@@ -193,8 +193,11 @@ def quantized_matmul4(
     interpret: bool = False,
     out_dtype=None,
 ) -> jax.Array:
-    """Pallas tiled packed-int4-weight matmul; uint8 nibble pairs are all
+    """Pallas tiled packed-int4-weight matmul; int8 nibble pairs are all
     that crosses HBM for the weights (~half the int8 stream)."""
+    from .attention import on_tpu
+
+    interpret = interpret or not on_tpu()  # CPU: same kernel logic
     M, K = x.shape
     bn2 = int(q4["w4"].shape[-1])
     block_n = 2 * bn2
@@ -336,6 +339,32 @@ def quantize_decode_params(merged: Dict, fuse_projections: bool = True,
     for tower in ("whisper", "avhubert"):
         if tower in merged:
             out[tower] = quantize_tower_params(merged[tower], bits=bits)
+    return out
+
+
+def quantize_for_decode(merged: Dict, mode: str,
+                        fuse_projections: bool = True,
+                        llm_only: bool = False) -> Dict:
+    """One call site for the decode quantization modes:
+      "int8" — weight-only int8 on LLM (+towers unless llm_only)
+      "int4" — packed-int4 LLM (uint8 nibble container + Pallas kernel,
+               relay-safe; see pack_llm_int4) + int8 towers; opt-in —
+               measured slower than int8 on Mosaic toolchains without
+               native S4 (docs/ROUND4_NOTES.md), shipped for runtimes
+               that have it."""
+    if mode is None or mode == "":
+        return merged
+    assert mode in ("int8", "int4"), mode
+    out = dict(merged)
+    bits = 4 if mode == "int4" else 8
+    llm = quantize_llm_params(merged["llm"], bits=bits)
+    if fuse_projections:
+        llm = fuse_decode_projections(llm)
+    out["llm"] = pack_llm_int4(llm) if mode == "int4" else llm
+    if not llm_only:
+        for tower in ("whisper", "avhubert"):
+            if tower in merged:
+                out[tower] = quantize_tower_params(merged[tower], bits=8)
     return out
 
 

@@ -57,35 +57,17 @@ class Transcriber:
         self.engine = OmniEngine(model, params, TrainConfig(), 1.0, noise_bank=None,
                                  inference_only=True)
         self.params = self.engine.merged_params()
-        if quantize == "int8":
-            from .ops.quant import quantize_decode_params
+        if quantize:
+            from .ops.quant import quantize_for_decode
 
-            self.params = dict(self.params)
             # fused q|k|v / gate|up streams only off-mesh: the tp partition
-            # rules shard those projections separately
-            self.params = quantize_decode_params(
-                self.params, fuse_projections=mesh is None)
-        elif quantize == "int4":
-            # Packed uint8 nibble runtime for the LLM (relay-safe: no S4
-            # buffers), numerically identical to the int8-container int4
-            # RTN emulation the scaled WER probe gates. LLM-only: the
-            # decode loop streams LLM weights every token; the towers
-            # amortise over the utterance and stay int8.
-            from .ops.quant import (
-                fuse_decode_projections,
-                pack_llm_int4,
-                quantize_llm_params,
-                quantize_tower_params,
-            )
-
-            assert mesh is None, "int4 packed runtime is single-chip"
-            self.params = dict(self.params)
-            llm = quantize_llm_params(self.params["llm"], bits=4)
-            self.params["llm"] = pack_llm_int4(fuse_decode_projections(llm))
-            for tower in ("whisper", "avhubert"):
-                if tower in self.params:
-                    self.params[tower] = quantize_tower_params(
-                        self.params[tower], bits=8)
+            # rules shard those projections separately. int4 = the packed
+            # nibble runtime (relay-safe, LLM-only, single-chip; opt-in —
+            # slower than int8 without native S4, PARITY.md)
+            assert quantize == "int8" or mesh is None, \
+                "int4 packed runtime is single-chip"
+            self.params = quantize_for_decode(
+                self.params, quantize, fuse_projections=mesh is None)
         self.mesh = mesh
         if mesh is not None:
             from .ops.beam_attention import beam_attn_shardable

@@ -40,6 +40,54 @@ def test_pack_roundtrip_exact(shape):
     np.testing.assert_array_equal(_unpack(q4), np.asarray(q["w"]))
 
 
+@pytest.mark.slow
+def test_int4_packed_decode_matches_emulation(tmp_path):
+    """The packed runtime (`quantize_for_decode(..., "int4")` -> Pallas
+    nibble kernel via models/common.linear) must transcribe like the
+    int4-RTN int8-container emulation (`quantize_decode_params(bits=4)`)
+    that the scaled WER probe gates — same RTN values, only the container
+    and matmul route differ."""
+    import jax as _jax
+
+    from omni_avsr_tpu.cli.train_omni import parse_args
+    from omni_avsr_tpu.cli.common import (
+        build_data_config, build_model, maybe_synthetic,
+    )
+    from omni_avsr_tpu.config import TrainConfig
+    from omni_avsr_tpu.data.datamodule import DataModule
+    from omni_avsr_tpu.ops.quant import (
+        quantize_decode_params, quantize_for_decode,
+    )
+    from omni_avsr_tpu.train.engine import OmniEngine
+
+    args = parse_args([
+        "--synthetic", "4", "--exp-dir", str(tmp_path), "--max-epochs", "1",
+        "--num-beams", "2", "--max-dec-tokens", "6",
+        "--downsample-ratio-audio", "4", "--downsample-ratio-video", "2",
+    ])
+    maybe_synthetic(args)
+    model = build_model(args)
+    params = model.init_params(_jax.random.PRNGKey(0))
+    data_cfg = build_data_config(args)
+    dm = DataModule(data_cfg, model.tok, modality="audiovisual")
+    engine = OmniEngine(model, params, TrainConfig(lr=3e-3), 4.0, seed=0)
+    for _ in range(2):
+        for batch in dm.train_batches(0):
+            engine.train_step(batch)
+
+    merged = engine.merged_params()
+    emul = quantize_decode_params(merged, bits=4)
+    packed = quantize_for_decode(merged, "int4")
+
+    hyps = {"emul": [], "packed": []}
+    for batch in dm.test_batches(1):
+        for name, p in (("emul", emul), ("packed", packed)):
+            hyps[name].extend(engine.decode_batch(
+                p, batch, "audiovisual", 4, 2, num_beams=2, max_new=6))
+    agree = np.mean([a == b for a, b in zip(hyps["emul"], hyps["packed"])])
+    assert agree >= 0.5, (agree, hyps)  # fp-route differences only
+
+
 @pytest.mark.parametrize("m,k,n", [(1, 128, 256), (5, 96, 612), (16, 256, 300)])
 def test_matmul4_matches_int4_rtn_dequant(m, k, n):
     rng = np.random.RandomState(1)
