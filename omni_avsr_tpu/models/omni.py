@@ -92,6 +92,12 @@ class OmniAVSR:
         def pred(path: str) -> bool:
             if path.startswith(("audio_proj", "video_proj")):
                 return True
+            # "full_llm": train the whole decoder — NOT a reference recipe
+            # (the paper trains LoRA only); used by benchmarks/wer_probe.py
+            # so a tiny RANDOM-tower model can reach the memorized regime
+            # its quantization study needs.
+            if "full_llm" in unfrozen_modules and path.startswith("llm."):
+                return True
             if "peft_llm" in unfrozen_modules and path.startswith("llm.") and ".lora" in path:
                 return True
             if (
