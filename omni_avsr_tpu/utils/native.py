@@ -59,6 +59,23 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64),
             ]
+            lib.balanced_assignment.restype = ctypes.c_int64
+            lib.balanced_assignment.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.token_block_slices.restype = ctypes.c_int64
+            lib.token_block_slices.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.block_to_dataset_index.restype = None
+            lib.block_to_dataset_index.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -147,3 +164,147 @@ def bucket_batches_native(
         _ptr(starts, ctypes.c_int64), _ptr(members, ctypes.c_int64),
     ))
     return [members[starts[i]:starts[i + 1]].tolist() for i in range(nb)]
+
+
+def balanced_assignment_native(scores: np.ndarray) -> np.ndarray:
+    """Balanced linear assignment: give each of W workers exactly J/W jobs,
+    maximising total score (auction algorithm, fairseq libbase
+    `balanced_assignment.cpp` semantics — BASE-layer MoE routing).
+
+    scores: float [num_jobs, num_workers]. Returns int64[num_jobs] where
+    positions w*k .. w*k+k-1 hold the jobs assigned to worker w.
+    """
+    scores = np.ascontiguousarray(scores, np.float32)
+    num_jobs, num_workers = scores.shape
+    if num_jobs % num_workers:
+        raise ValueError(f"{num_workers} workers do not divide {num_jobs} jobs")
+    lib = _load()
+    if lib is None:
+        return _balanced_assignment_py(scores)
+    out = np.empty(num_jobs, np.int64)
+    rc = lib.balanced_assignment(
+        _ptr(scores, ctypes.c_float), num_jobs, num_workers,
+        _ptr(out, ctypes.c_int64))
+    if rc != 0:
+        raise RuntimeError("balanced_assignment failed")
+    return out
+
+
+def _balanced_assignment_py(scores: np.ndarray) -> np.ndarray:
+    """Pure-numpy auction fallback (same iteration structure as the C++)."""
+    num_jobs, num_workers = scores.shape
+    k = num_jobs // num_workers
+    max_iterations = 100
+    eps = max((scores.max() - scores.min()) / 50.0, 1e-4)
+    base = scores.T.astype(np.float64).copy()  # [W, J]
+    value = base.copy()
+    cost = np.zeros(num_jobs)
+    retained = np.zeros(0, np.int64)
+    counter = 0
+    while True:
+        bids = np.zeros_like(base)
+        # descending top-(k+1) with index tiebreak = np.argsort on (-value)
+        top_index = np.argsort(-value, axis=1, kind="stable")[:, : k + 1]
+        top_values = np.take_along_axis(value, top_index, axis=1)
+        incr = top_values[:, :k] - top_values[:, k:] + eps
+        np.put_along_axis(bids, top_index[:, :k], incr, axis=1)
+        if 0 < counter < max_iterations:
+            bids.reshape(-1)[retained] = eps
+        high_bids = bids.max(axis=0)
+        high_bidders = bids.argmax(axis=0)
+        have = high_bids > 0
+        if have.all():
+            break
+        cost += high_bids
+        value = base - cost[None, :]
+        retained = (high_bidders * num_jobs + np.arange(num_jobs))[have]
+        value.reshape(-1)[retained] = (
+            base.max() if counter < max_iterations
+            else base.reshape(-1)[retained])
+        counter += 1
+    return top_index[:, :k].reshape(-1).astype(np.int64)
+
+
+_BLOCK_MODES = {"none": 0, None: 0, "complete": 1, "complete_doc": 2, "eos": 3}
+
+
+def token_block_slices_native(
+    sizes: List[int], break_mode: Optional[str], block_size: int,
+    document_sep_len: int = 1,
+) -> np.ndarray:
+    """Chop per-sentence token sizes into contiguous (start, end) blocks —
+    fairseq `token_block_utils_fast.pyx::_get_slice_indices_fast` semantics.
+    Returns int64 [num_blocks, 2]."""
+    if break_mode not in _BLOCK_MODES:
+        raise ValueError(f"Invalid break_mode: {break_mode}")
+    mode = _BLOCK_MODES[break_mode]
+    ls = np.ascontiguousarray(sizes, np.int64)
+    n = len(ls)
+    lib = _load()
+    if lib is None:
+        return _token_block_slices_py(ls, mode, block_size, document_sep_len)
+    total = int(ls.sum())
+    max_blocks = max(1, (total + block_size - 1) // block_size if mode == 0 else n)
+    out = np.zeros(2 * max_blocks, np.int64)
+    m = int(lib.token_block_slices(
+        _ptr(ls, ctypes.c_int64), n, mode, block_size, document_sep_len,
+        _ptr(out, ctypes.c_int64)))
+    if m < 0:
+        raise ValueError(f"Invalid break_mode: {break_mode}")
+    return out[: 2 * m].reshape(m, 2)
+
+
+def _token_block_slices_py(ls, mode, block_size, document_sep_len):
+    total = int(ls.sum())
+    blocks = []
+    if mode == 0:
+        length = -(-total // block_size)
+        blocks = [(i * block_size, min((i + 1) * block_size, total))
+                  for i in range(length)]
+    elif mode in (1, 2):
+        tok = cur = sz = 0
+        n = len(ls)
+        while sz < n:
+            fits = cur + ls[sz] <= block_size or cur == 0
+            is_sep = mode == 2 and ls[sz] == document_sep_len
+            if fits and not is_sep:
+                cur += int(ls[sz]); sz += 1
+            else:
+                if cur > (0 if mode == 1 else 1):
+                    blocks.append((tok, tok + cur))
+                tok += cur; cur = 0
+                if is_sep:
+                    tok += int(ls[sz]); sz += 1
+        if cur > (0 if mode == 1 else 1):
+            blocks.append((tok, tok + cur))
+    else:
+        tok = 0
+        for s in ls:
+            blocks.append((tok, tok + int(s)))
+            tok += int(s)
+    return np.asarray(blocks, np.int64).reshape(len(blocks), 2)
+
+
+def block_to_dataset_index_native(
+    sizes: List[int], slices: np.ndarray) -> np.ndarray:
+    """Map token (start, end) slices to (start_sentence, start_offset,
+    end_sentence) dataset coordinates — `_get_block_to_dataset_index_fast`
+    semantics. Returns int64 [num_blocks, 3]."""
+    ls = np.ascontiguousarray(sizes, np.int64)
+    sl = np.ascontiguousarray(slices, np.int64)
+    m = sl.shape[0]
+    lib = _load()
+    if lib is None:
+        cum = np.concatenate([[0], np.cumsum(ls)])
+        out = np.zeros((m, 3), np.int64)
+        for i, (s, e) in enumerate(sl):
+            a = int(np.searchsorted(cum, s, side="right") - 1)
+            b = int(np.searchsorted(cum, max(s, e - 1), side="right") - 1)
+            out[i] = (a, s - cum[a], b)
+        return out
+    out = np.zeros(3 * m, np.int64)
+    lib.block_to_dataset_index(
+        _ptr(ls, ctypes.c_int64), len(ls),
+        _ptr(sl.reshape(-1), ctypes.c_int64), m,
+        _ptr(out, ctypes.c_int64))
+    return out.reshape(m, 3)
