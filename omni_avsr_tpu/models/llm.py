@@ -316,7 +316,17 @@ def llm_backbone(
     if mask is None and not flash_causal:
         mask = jnp.broadcast_to(causal_mask(T, T), (B, 1, T, T))
 
+    sp_spec = _sequence_parallel_spec()
+
     def body(x, layer):
+        if sp_spec is not None:
+            # Sequence parallelism (GSPMD formulation): pin the residual
+            # stream's T axis to the tp mesh axis between layers, so the
+            # norm/elementwise work shards over tp instead of replicating.
+            # XLA inserts the all-gather into attention and the
+            # reduce-scatter out of the o/down matmuls. Opt-in (OMNI_SP=1)
+            # and only meaningful under a (dp, tp) mesh context.
+            x = jax.lax.with_sharding_constraint(x, sp_spec)
         y, _ = _decoder_layer(layer, cfg, x, cos, sin, mask, modality,
                               flash_causal=flash_causal)
         return y, None
@@ -325,6 +335,21 @@ def llm_backbone(
         body = maybe_remat(body)
     x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
     return x
+
+
+def _sequence_parallel_spec():
+    """P(dp, tp) residual-stream spec when OMNI_SP=1, else None. The
+    reference has no SP (SURVEY §5); this is the TPU-native option for
+    long-prefix training under a tensor-parallel mesh."""
+    import os
+
+    if os.environ.get("OMNI_SP", "0") != "1":
+        return None
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import AXIS_DP, AXIS_TP
+
+    return P(AXIS_DP, AXIS_TP, None)
 
 
 def maybe_remat(body):

@@ -123,3 +123,21 @@ def test_pipeline_divisibility_errors(setup):
     with pytest.raises(ValueError):
         PL.pipeline_backbone(mesh8, params["layers"], cfg, embeds,
                              num_microbatches=4)
+
+
+def test_sequence_parallel_matches(setup, monkeypatch):
+    """OMNI_SP=1 pins the residual stream's T axis to tp (GSPMD sequence
+    parallelism) — values must match the unconstrained backbone."""
+    cfg, params, embeds, ref = setup
+    monkeypatch.setenv("OMNI_SP", "1")
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("dp", "tp"))
+    B, T = embeds.shape[:2]
+    pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    with mesh:
+        emb = jax.device_put(embeds, NamedSharding(mesh, P("dp")))
+        out = jax.jit(
+            lambda p, e: L.llm_backbone(p, cfg, e, pos, mask=None,
+                                        modality="audio", remat=False)
+        )(params, emb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
