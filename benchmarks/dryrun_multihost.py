@@ -101,6 +101,16 @@ def worker(rank: int, rdv_dir: str) -> None:
     import __graft_entry__ as g
 
     mesh = make_mesh(MeshConfig(dp=4, tp=2))
+    # the mesh layout real TPU pods use: dp SPANS the two processes (DCN in
+    # production, gloo here), tp stays host-local (ICI in production) —
+    # VERDICT r4 item 6. Pin it so a device-order change can't silently
+    # turn this back into a single-host-per-axis layout.
+    mdevs = np.asarray(mesh.devices)  # (dp=4, tp=2)
+    assert {d.process_index for d in mdevs[:, 0]} == set(range(N_PROC)), (
+        "dp axis must span both processes")
+    for row in mdevs:
+        assert len({d.process_index for d in row}) == 1, (
+            "tp axis must stay host-local")
     model = g._flagship(tiny=True)
     params = model.init_params(jax.random.PRNGKey(0), frozen_dtype=jnp.float32)
     with mesh:
@@ -118,9 +128,25 @@ def worker(rank: int, rdv_dir: str) -> None:
         batch["audio_trim_len"] = 25
         loss = float(engine.train_step(batch))
         assert np.isfinite(loss), loss
+
+        # FSDP/ZeRO-3 across hosts: params shard over the (cross-process)
+        # dp axis, so the forward all-gathers weights over gloo/DCN and the
+        # backward reduce-scatters grads — the cross-host GSPMD parameter
+        # path itself, not just the gradient psum
+        params2 = model.init_params(jax.random.PRNGKey(0),
+                                    frozen_dtype=jnp.float32)
+        params2["llm"] = shard_params(
+            mesh, params2["llm"],
+            llm_partition_specs(params2["llm"], fsdp=True))
+        engine2 = OmniEngine(model, params2, TrainConfig(lr=1e-3),
+                             steps_per_epoch=10,
+                             noise_bank=synth_babble(seconds=2.0), seed=0)
+        loss_fsdp = float(engine2.train_step(dict(batch)))
+        assert np.isfinite(loss_fsdp), loss_fsdp
     if is_primary():
         print(f"dryrun_multihost ok: {N_PROC} procs x {DEV_PER_PROC} devs, "
-              f"mesh={dict(mesh.shape)}, loss={loss:.4f}", flush=True)
+              f"mesh={dict(mesh.shape)}, loss={loss:.4f} "
+              f"fsdp_loss={loss_fsdp:.4f}", flush=True)
     # orderly distributed teardown, then hard-exit: interpreter/atexit
     # teardown of gloo has been observed to hang under CPU saturation. A
     # watchdog force-exits even if shutdown() itself wedges.

@@ -52,11 +52,13 @@ def build_probe_model(llm_layers: int = 4):
         model.cfg,
         llm=dataclasses.replace(model.cfg.llm, num_layers=llm_layers),
         # dropout floors the train CE at ~0.5 (≈60% token accuracy ->
-        # word-level WER ~1.0 even "fitted") — the probe needs TRUE
-        # memorization, so regularisation off (measured on-chip r4)
+        # word-level WER ~1.0 even "fitted") and layerdrop randomly skips
+        # encoder layers (train/decode feature mismatch) — the probe needs
+        # TRUE memorization, so ALL regularisation off (r4's recorded run
+        # left layerdrop+augment on and never fitted; VERDICT r4 missing #2)
         avhubert=dataclasses.replace(
             model.cfg.avhubert, dropout=0.0, attention_dropout=0.0,
-            activation_dropout=0.0, dropout_input=0.0),
+            activation_dropout=0.0, dropout_input=0.0, layerdrop=0.0),
     )
     return OmniAVSR(cfg, model.tok)
 
@@ -82,7 +84,7 @@ def run_probe(
     llm_layers: int = 4,
     batch_size: int = 8,
     seed: int = 0,
-    target_loss: float = 0.25,
+    target_loss: float = 0.02,
     verbose: bool = True,
     tasks: Optional[Tuple[str, ...]] = None,  # None = all three
     splits: Tuple[str, ...] = ("trainmem", "test"),
@@ -124,10 +126,13 @@ def run_probe(
     # steps_per_epoch must be REAL so the cosine lr anneals within the run
     # (at constant 6e-3 the loss oscillates at ~0.5 and never memorizes).
     steps_per_epoch = max(n_clips // batch_size, 1)
+    # augment=False: train on the EXACT eval-mode features the decoder will
+    # see (center crop, no time masks / noise) — with random crops + masks on,
+    # the mapping to memorize changes every step and the model never fits
     engine = OmniEngine(model, params, TrainConfig(lr=lr, max_epochs=epochs),
                         float(steps_per_epoch), seed=seed,
                         unfrozen_modules=("peft_llm", "lora_avhubert",
-                                          "full_llm"))
+                                          "full_llm"), augment=False)
     dm_train = DataModule(data_cfg(train_csv), model.tok, modality="audiovisual")
     for ep in range(epochs):
         losses = []
@@ -210,7 +215,7 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=400,
                    help="CAP — training early-stops at --target-loss "
                         "(the probe needs the memorized regime)")
-    p.add_argument("--target-loss", type=float, default=0.25)
+    p.add_argument("--target-loss", type=float, default=0.02)
     p.add_argument("--beams", type=int, default=15)
     p.add_argument("--max-new", type=int, default=32)
     p.add_argument("--llm-layers", type=int, default=4)

@@ -98,6 +98,27 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--fsdp", type=str2bool, default=False,
                    help="additionally shard LLM matrices over the dp axis "
                         "(ZeRO-3 / the reference's commented FSDPStrategy)")
+    p.add_argument("--mesh-pp", type=int, default=1,
+                   help="pipeline-parallel stages: the decoder layer stack "
+                        "shards over a pp mesh axis and the train step runs "
+                        "the GPipe schedule (parallel/pipeline.py)")
+    p.add_argument("--pp-microbatches", type=int, default=4,
+                   help="GPipe microbatches per step (batch must divide)")
+    p.add_argument("--mesh-ep", type=int, default=1,
+                   help="expert-parallel axis: shards --moe-experts expert "
+                        "weights over an ep mesh axis (models/moe.py)")
+    p.add_argument("--sequence-parallel", type=str2bool, default=False,
+                   help="shard the decoder residual stream's time axis over "
+                        "tp between layers (sets OMNI_SP=1; needs --mesh-tp>1)")
+    # MoE decoder option (BASE-layer capability; the reference vendors
+    # fairseq BASE layers but never activates them)
+    p.add_argument("--moe-experts", type=int, default=0,
+                   help="replace each decoder MLP with an E-expert MoE FFN")
+    p.add_argument("--moe-routing", default="balanced",
+                   choices=["balanced", "top1"],
+                   help="balanced = BASE-style equal loads (no aux loss); "
+                        "top1 = Switch-style capacity routing")
+    p.add_argument("--moe-capacity-factor", type=float, default=1.25)
     # offline smoke mode
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate N synthetic train clips and run offline with a tiny model")
@@ -156,6 +177,11 @@ def build_model(args) -> OmniAVSR:
 
             whisper = whisper_base_en()
         avhubert = avhubert_large(use_lora=args.use_lora_avhubert)
+
+    if getattr(args, "moe_experts", 0):
+        llm = dataclasses.replace(
+            llm, moe_experts=args.moe_experts, moe_routing=args.moe_routing,
+            moe_capacity_factor=args.moe_capacity_factor)
 
     rates_a = tuple(args.downsample_ratio_audio)
     rates_v = tuple(args.downsample_ratio_video)
@@ -247,33 +273,62 @@ def setup_distributed(args) -> bool:
 
 
 def setup_parallelism(args, params):
-    """Build the global (dp, tp) mesh + batch feed when multi-process or
-    tp > 1 is requested; otherwise (None, identity).
+    """Build the global (dp[, pp][, ep], tp) mesh + batch feed + optional
+    `PipelinePlan` when multi-process or any model axis > 1 is requested;
+    otherwise (None, identity, None).
 
     The feed slices each host's rows out of the deterministic global batch
     stream (every host iterates the same batches — seeds are shared — and
     keeps rows [p*k, (p+1)*k)) and assembles global dp-sharded arrays via
-    `jax.make_array_from_process_local_data`. LLM params are sharded over
-    tp in place."""
-    use_mesh = (jax.process_count() > 1 or getattr(args, "mesh_tp", 1) > 1
+    `jax.make_array_from_process_local_data`. LLM params are sharded in
+    place: matmuls over tp (+dp under --fsdp), the stacked layer axis over
+    pp (GPipe, `parallel/pipeline.py`), MoE expert weights over ep."""
+    pp = getattr(args, "mesh_pp", 1)
+    ep = getattr(args, "mesh_ep", 1)
+    tp = getattr(args, "mesh_tp", 1)
+    if getattr(args, "sequence_parallel", False):
+        # the residual-stream constraint is P(dp, tp): it needs a tp axis
+        # of size > 1 and a mesh context, else with_sharding_constraint
+        # fails at trace time
+        assert tp > 1, "--sequence-parallel needs --mesh-tp > 1"
+        os.environ["OMNI_SP"] = "1"
+    use_mesh = (jax.process_count() > 1 or tp > 1 or pp > 1 or ep > 1
                 or getattr(args, "fsdp", False))
     if not use_mesh:
-        return None, (lambda b: b)
+        return None, (lambda b: b), None
 
     import numpy as np
 
     from ..config import MeshConfig
     from ..parallel.distributed import global_batch_from_local, host_shard_slice
-    from ..parallel.mesh import make_mesh
-    from ..parallel.partitioning import llm_partition_specs, shard_params
+    from ..parallel.mesh import AXIS_DP, make_mesh
+    from ..parallel.partitioning import (
+        clamp_specs_to_shapes,
+        llm_partition_specs,
+        shard_params,
+    )
 
     n = len(jax.devices())
-    tp = args.mesh_tp
-    assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
-    mesh = make_mesh(MeshConfig(dp=n // tp, tp=tp))
-    params["llm"] = shard_params(
-        mesh, params["llm"],
-        llm_partition_specs(params["llm"], fsdp=getattr(args, "fsdp", False)))
+    model_axes = tp * pp * ep
+    assert n % model_axes == 0, (
+        f"{n} devices not divisible by tp*pp*ep={model_axes}")
+    mesh = make_mesh(MeshConfig(dp=n // model_axes, tp=tp, pp=pp, ep=ep))
+
+    plan = None
+    specs = llm_partition_specs(params["llm"],
+                                fsdp=getattr(args, "fsdp", False),
+                                ep=ep > 1)
+    if pp > 1:
+        from ..parallel.pipeline import AXIS_PP, PipelinePlan, pipeline_layer_specs
+
+        # the stacked layer axis shards over pp (the shard_map in_specs of
+        # pipeline_backbone); embed/final-norm/lm_head keep the tp rules
+        specs["layers"] = pipeline_layer_specs(params["llm"]["layers"])
+        plan = PipelinePlan(
+            mesh, num_microbatches=getattr(args, "pp_microbatches", 4),
+            axis=AXIS_PP, dp_axis=AXIS_DP)
+    specs = clamp_specs_to_shapes(mesh, params["llm"], specs)
+    params["llm"] = shard_params(mesh, params["llm"], specs)
 
     P_ = jax.process_count()
 
@@ -291,7 +346,7 @@ def setup_parallelism(args, params):
         out.update(rest)
         return out
 
-    return mesh, feed
+    return mesh, feed, plan
 
 
 def build_data_config(args) -> DataConfig:

@@ -71,7 +71,7 @@ def main(argv=None):
 
     model = build_model(args)
     params = build_params(args, model)
-    mesh, feed = setup_parallelism(args, params)
+    mesh, feed, pipeline = setup_parallelism(args, params)
     data_cfg = build_data_config(args)
     dm = DataModule(data_cfg, model.tok, modality=args.modality,
                     downsample_video=(None if args.is_matryoshka
@@ -87,7 +87,8 @@ def main(argv=None):
                      or args.modality != "audio")
     noise = load_noise_bank(args.noise_path) if args.modality != "video" else None
     engine = OmniEngine(model, params, train_cfg, steps_per_epoch,
-                        unfrozen_modules=unfrozen, noise_bank=noise, seed=args.seed)
+                        unfrozen_modules=unfrozen, noise_bank=noise, seed=args.seed,
+                        pipeline=pipeline)
     logger = MetricLogger(args.exp_dir, args.exp_name, use_wandb=args.wandb,
                           project=args.project_wandb, config=vars(args))
 

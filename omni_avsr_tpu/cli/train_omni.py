@@ -79,7 +79,7 @@ def main(argv=None):
 
     model = build_model(args)
     params = build_params(args, model)
-    mesh, feed = setup_parallelism(args, params)
+    mesh, feed, pipeline = setup_parallelism(args, params)
     data_cfg = build_data_config(args)
     dm = DataModule(data_cfg, model.tok, modality=args.modality)
     steps_per_epoch = max(dm.steps_per_epoch(), 1)
@@ -95,7 +95,7 @@ def main(argv=None):
     engine = OmniEngine(
         model, params, train_cfg, steps_per_epoch,
         unfrozen_modules=tuple(args.unfrozen_modules),
-        noise_bank=noise, seed=args.seed,
+        noise_bank=noise, seed=args.seed, pipeline=pipeline,
     )
     logger = MetricLogger(
         args.exp_dir, args.exp_name,

@@ -82,7 +82,18 @@ def parse_args(argv=None):
     p.add_argument("--golden-audio", default=None,
                    help="16 kHz wav for the golden clip (default: sibling "
                         ".wav of --golden-clip if present)")
+    p.add_argument("--profile", default="reference",
+                   choices=["reference", "tpu", "none"],
+                   help="numerics profile (utils/profiles.py). The default "
+                        "pins EVERY runtime toggle to the reference-exact "
+                        "combination (threefry/twopass/grid-select/xla-attn/"
+                        "remat-off) so a parity run cannot silently inherit "
+                        "a TPU fast path; 'tpu' keeps the tuned defaults")
     args, rest = p.parse_known_args(argv)
+    if args.profile != "none":
+        from ..utils.profiles import apply_profile
+
+        apply_profile(args.profile)
     return args, rest
 
 

@@ -90,6 +90,15 @@ class LLMConfig:
     attention_bias: bool = False
     max_position_embeddings: int = 131072
     lora: Optional[LoRAConfig] = None
+    # Mixture-of-Experts FFN (BASE-layer capability, `models/moe.py`):
+    # moe_experts > 0 replaces each decoder layer's SwiGLU MLP with an
+    # E-expert MoE of the same ffn dim. Default routing "balanced" mirrors
+    # fairseq's BASE layers (`fairseq/modules/base_layer.py`) — equal loads
+    # by construction, NO auxiliary loss; "top1" is Switch-style capacity
+    # routing (tokens past capacity fall through on the residual).
+    moe_experts: int = 0
+    moe_routing: str = "balanced"  # "balanced" | "top1"
+    moe_capacity_factor: float = 1.25
 
     @property
     def q_dim(self) -> int:
@@ -360,10 +369,18 @@ class DataConfig:
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """Device mesh (data/model axes) for pjit sharding."""
+    """Device mesh (data/model axes) for pjit sharding.
+
+    dp: data parallel (batch).  tp: tensor parallel (attention heads / MLP
+    hidden).  pp: pipeline parallel (decoder layer stack, GPipe schedule —
+    `parallel/pipeline.py`).  ep: expert parallel (MoE expert dim —
+    `models/moe.py`). dp/tp axes always exist in the mesh; pp/ep axes are
+    added only when their size is > 1."""
 
     dp: int = 1
     tp: int = 1
+    pp: int = 1
+    ep: int = 1
     axis_dp: str = "dp"
     axis_tp: str = "tp"
 

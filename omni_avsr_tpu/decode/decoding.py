@@ -97,15 +97,74 @@ def topk_chunked(x: jax.Array, k: int, chunk: int = 128,
     # measured SLOWER composed into the selection graph (6.3 vs 4.1 ms at
     # batch 32 — it blocks fusion); keep the fusable reshape+max.
     cm = chunk_maxima if chunk_maxima is not None else jnp.max(xc, axis=-1)
-    _, cidx = jax.lax.top_k(cm, k)  # (..., k) chunk ids
-    cand = jnp.take_along_axis(xc, cidx[..., None], axis=-2)  # (..., k, chunk)
-    flat = cand.reshape(*cand.shape[:-2], k * chunk)
+    kc = min(k, C)  # kc == C => every chunk survives: trivially exact
+    _, cidx = jax.lax.top_k(cm, kc)  # (..., kc) chunk ids
+    cand = jnp.take_along_axis(xc, cidx[..., None], axis=-2)  # (..., kc, chunk)
+    flat = cand.reshape(*cand.shape[:-2], kc * chunk)
     if chunk > 64:  # recurse: finish inside k*16 instead of sorting k*chunk
         vals, gi = topk_chunked(flat, k, chunk=16)
     else:
         vals, gi = jax.lax.top_k(flat, k)
     idx = jnp.take_along_axis(cidx, gi // chunk, axis=-1) * chunk + gi % chunk
     return vals, idx
+
+
+def _fused_select_sharded(x, k2, mesh, axis, use_kernel):
+    """Vocab-sharded fused beam selection (shard_map over the tp axis).
+
+    x: (B, K, V) raw logits whose V axis is (or can be) sharded over
+    `axis`. Each shard computes its LOCAL per-beam top-k2 + row stats —
+    including the one-pass Pallas stats kernel (ops/select_topk.py), which
+    GSPMD alone cannot partition — then an exact cross-shard merge:
+      - row max:   pmax of per-shard maxima (bit-equal)
+      - normalizer: psum of se_s * exp(mx_s - mx) (summation-order ulp
+        class, same as the kernel's documented lse delta)
+      - top-k2:    the global top-k2 is contained in the union of per-shard
+        top-k2 (any global winner is a winner of its own shard), so an
+        all_gather of tp*k2 candidates + one small top_k finishes exactly.
+    Returns (mx (B,K,1), lse (B,K,1), vals (B,K,k2), vidx (B,K,k2)) —
+    replicated, identical to the single-device fused route modulo the
+    documented fp-tie/lse-ulp classes.
+
+    This keeps BOTH serving kernels alive under a tp mesh (VERDICT r4 §3:
+    beam attention was shard_mapped in round 4; selection pinned `xla`).
+    HF selection semantics: `modeling_OmniAVSR.py:312-322`.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    B, K, V = x.shape
+    Vs = V // mesh.shape[axis]
+
+    def shard_fn(xs):  # xs: (B, K, Vs) local vocab shard
+        sid = jax.lax.axis_index(axis)
+        if use_kernel:
+            from ..ops.attention import on_tpu
+            from ..ops.select_topk import row_stats_chunkmax
+
+            cm, mx_s, se_s = row_stats_chunkmax(
+                xs.reshape(B * K, Vs), interpret=not on_tpu())
+            mx_s = mx_s.reshape(B, K)
+            se_s = se_s.reshape(B, K)
+            vals_s, vidx_s = topk_chunked(
+                xs, k2, chunk_maxima=cm.reshape(B, K, -1))
+        else:
+            mx_s = jnp.max(xs, axis=-1)
+            se_s = jnp.sum(jnp.exp(xs - mx_s[..., None]), axis=-1)
+            vals_s, vidx_s = topk_chunked(xs, k2)
+        mx = jax.lax.pmax(mx_s, axis)
+        se = jax.lax.psum(se_s * jnp.exp(mx_s - mx), axis)
+        gidx = (vidx_s + sid * Vs).astype(jnp.int32)
+        vals_all = jax.lax.all_gather(vals_s, axis, axis=2, tiled=True)
+        gidx_all = jax.lax.all_gather(gidx, axis, axis=2, tiled=True)
+        vals, sel = jax.lax.top_k(vals_all, k2)
+        vidx = jnp.take_along_axis(gidx_all, sel, axis=-1)
+        return mx[..., None], jnp.log(se)[..., None], vals, vidx
+
+    rep = P(None, None, None)
+    return jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(None, None, axis),),
+        out_specs=(rep, rep, rep, rep), check_vma=False,
+    )(x)
 
 
 def _prefill(params, cfg, prefix_embeds, prefix_len, key_valid, cache, modality):
@@ -324,11 +383,11 @@ def beam_search(
         num_beams=K, vocab_size=V, max_new=max_new, eos_id=eos_id,
         pad_id=pad_id, length_penalty=length_penalty,
         no_repeat_ngram_size=no_repeat_ngram_size,
-        # an explicitly pinned XLA attention route — or mesh-sharded
-        # serving (the selection pallas call is NOT shard_mapped yet) —
-        # also pins XLA selection: GSPMD cannot partition a custom call
-        select_kernel=(False if (attn_route == "xla" or attn_mesh is not None)
-                       else None),
+        # an explicitly pinned XLA attention route also pins XLA selection;
+        # under a mesh the selection (incl. the Pallas stats kernel) runs
+        # per vocab shard via shard_map (_fused_select_sharded)
+        select_kernel=(False if attn_route == "xla" else None),
+        select_mesh=attn_mesh,
     )
 
 
@@ -345,11 +404,20 @@ def beam_loop(
     length_penalty: float = 1.0,
     no_repeat_ngram_size: int = 0,
     select_kernel: Optional[bool] = None,  # None = platform/env/vocab auto
+    select_mesh=None,  # Mesh: shard_map the fused selection over its tp axis
+    select_axis: str = "tp",
 ) -> jax.Array:
     """Decoder-agnostic beam loop with HF BeamSearchScorer semantics — used
     by both the LLM (beam_search) and the AV-HuBERT seq2seq decoder."""
     B = init_logits.shape[0]
     K, V = num_beams, vocab_size
+    if select_mesh is not None and (
+        select_axis not in select_mesh.shape
+        or select_mesh.shape[select_axis] <= 1
+        or V % select_mesh.shape[select_axis] != 0
+        or 2 * K > V // select_mesh.shape[select_axis]
+    ):
+        select_mesh = None  # nothing to shard (or V not divisible): local route
     if select_kernel is None:
         from ..ops.select_topk import select_stats_supported
 
@@ -358,9 +426,11 @@ def beam_loop(
         # VPU-lane-reduce-bound, not HBM-bound, so fusing the passes buys
         # nothing (docs/ROUND3_NOTES.md "selection stats kernel").
         env = _os.environ.get("OMNI_SELECT_KERNEL")
+        shard_v = (V // select_mesh.shape[select_axis]
+                   if select_mesh is not None else V)
         select_kernel = (
             env is not None and env not in ("0", "")
-            and V >= 16384 and select_stats_supported(V)
+            and shard_v >= 16384 and select_stats_supported(shard_v)
         )
 
     logits = jnp.repeat(init_logits[:, None], K, axis=1)  # (B, K, V)
@@ -432,7 +502,12 @@ def beam_loop(
             # (Sole semantic edge: exact fp ties inside one beam resolve by
             # logit order here vs flat-grid index order there.)
             x = logits.astype(jnp.float32)  # (B,K,V)
-            if select_kernel:
+            if select_mesh is not None:
+                # vocab-sharded serving: per-shard selection + exact merge
+                # (keeps the stats kernel usable under the mesh too)
+                mx, lse, vals, vidx = _fused_select_sharded(
+                    x, 2 * K, select_mesh, select_axis, select_kernel)
+            elif select_kernel:
                 # one-pass Pallas stats (max + normalizer + chunk maxima;
                 # ops/select_topk.py) instead of 3 XLA passes; normalizer
                 # summation order differs by blocking (last-ulp lse delta,

@@ -91,6 +91,15 @@ def _init_layer(rng: jax.Array, cfg: LLMConfig, dtype) -> Params:
             "down": init_linear(keys[6], cfg.intermediate_size, h, bias=False, dtype=dtype),
         },
     }
+    if cfg.moe_experts > 0:
+        # BASE-capability MoE FFN replaces the dense SwiGLU MLP
+        # (`models/moe.py`; the reference vendors fairseq BASE layers but
+        # never activates them — here it is a first-class decoder option)
+        from .moe import init_moe
+
+        del p["mlp"]
+        p["moe"] = init_moe(
+            keys[11], cfg.moe_experts, h, cfg.intermediate_size, dtype)
     if cfg.lora is not None:
         if cfg.lora.task_specific:
             p["lora"] = {
@@ -232,7 +241,16 @@ def _attention_block(
     return linear(out, attn["o"]), new_cache
 
 
-def _mlp_block(layer: Params, x: jax.Array) -> jax.Array:
+def _mlp_block(layer: Params, x: jax.Array, cfg: Optional[LLMConfig] = None) -> jax.Array:
+    if "moe" in layer:  # MoE FFN (cfg.moe_experts > 0, models/moe.py)
+        from .moe import moe_ffn
+
+        y, _ = moe_ffn(
+            layer["moe"], x,
+            capacity_factor=cfg.moe_capacity_factor if cfg else 1.25,
+            routing=cfg.moe_routing if cfg else "balanced",
+        )
+        return y
     mlp = layer["mlp"]
     if "gateup" in mlp:  # decode trees fuse gate|up (ops/quant.py)
         gu = linear(x, mlp["gateup"])
@@ -259,7 +277,7 @@ def _decoder_layer(
     )
     x = x + attn_out
     h = rms_norm(x, layer["post_attn_norm"]["scale"], cfg.rms_norm_eps)
-    x = x + _mlp_block(layer, h)
+    x = x + _mlp_block(layer, h, cfg)
     return x, new_cache
 
 
@@ -303,9 +321,26 @@ def llm_backbone(
     mask: Optional[jax.Array],  # bool (B,1,T,S) or None => causal
     modality: Optional[str] = None,
     remat: bool = True,
+    pipeline: Optional[Any] = None,  # parallel.pipeline.PipelinePlan
 ) -> jax.Array:
-    """Run the decoder stack, return final hidden states (pre final-norm)."""
+    """Run the decoder stack, return final hidden states (pre final-norm).
+
+    With a `PipelinePlan`, the stack runs the GPipe schedule of
+    `parallel/pipeline.py` over the plan's pp mesh axis instead of the
+    local `lax.scan` — same layer math (pinned by tests/test_pipeline.py),
+    microbatched fill/drain over ICI. Training (causal) path only."""
     from ..ops.attention import FLASH_MIN_T_TRAIN, on_tpu
+
+    if pipeline is not None:
+        if mask is not None:
+            raise ValueError("pipelined backbone supports the pure-causal "
+                             "training path only (mask must be None)")
+        from ..parallel.pipeline import pipeline_backbone
+
+        return pipeline_backbone(
+            pipeline.mesh, params["layers"], cfg, inputs_embeds, positions,
+            modality=modality, num_microbatches=pipeline.num_microbatches,
+            remat=remat, axis=pipeline.axis, dp_axis=pipeline.dp_axis)
 
     B, T, _ = inputs_embeds.shape
     cos, sin = rope_cos_sin(cfg, positions)
@@ -421,6 +456,7 @@ def llm_span_stats(
     span: Tuple[int, int],  # static [t0, t1): label-active logits positions
     modality: Optional[str] = None,
     remat: bool = True,
+    pipeline: Optional[Any] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Shifted-CE stats computed ONLY on the label-active span.
 
@@ -433,7 +469,8 @@ def llm_span_stats(
     B, T, _ = inputs_embeds.shape
     t0, t1 = span
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
-    x = llm_backbone(params, cfg, inputs_embeds, positions, None, modality, remat)
+    x = llm_backbone(params, cfg, inputs_embeds, positions, None, modality,
+                     remat, pipeline=pipeline)
     logits = lm_head(params, cfg, x[:, t0:t1])
     return token_ce_stats(logits, labels[:, t0 + 1 : t1 + 1])
 
@@ -751,7 +788,7 @@ def llm_decode_step_beam(
         )
         x = x + linear(out.reshape(BK, 1, cfg.q_dim), attn["o"])
         h2 = rms_norm(x, layer["post_attn_norm"]["scale"], cfg.rms_norm_eps)
-        x = x + _mlp_block(layer, h2)
+        x = x + _mlp_block(layer, h2, cfg)
         return x, (k_cur, v_cur)
 
     x, (ks, vs) = jax.lax.scan(
@@ -805,7 +842,7 @@ def llm_decode_step_beam_anc(
         )
         x = x + linear(out.reshape(BK, 1, cfg.q_dim), attn["o"])
         h2 = rms_norm(x, layer["post_attn_norm"]["scale"], cfg.rms_norm_eps)
-        x = x + _mlp_block(layer, h2)
+        x = x + _mlp_block(layer, h2, cfg)
         return x, (k_cur, v_cur)
 
     x, (ks, vs) = jax.lax.scan(

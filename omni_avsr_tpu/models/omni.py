@@ -233,9 +233,12 @@ class OmniAVSR:
         train_mode: bool = True,
         remat: bool = True,
         dropout_rng: Optional[jax.Array] = None,
+        pipeline: Optional[Any] = None,  # parallel.pipeline.PipelinePlan
     ) -> Dict[str, jax.Array]:
         """Three-task training forward. Returns matry-weighted per-task
-        losses (`modeling_OmniAVSR.py:263-306`)."""
+        losses (`modeling_OmniAVSR.py:263-306`). With `pipeline`, each
+        task's decoder forward runs the GPipe schedule over the plan's pp
+        mesh axis (`parallel/pipeline.py`)."""
         cfg = self.cfg
         dtype = jnp.bfloat16
         text_emb = embed_tokens(params["llm"], batch["tokens"], dtype)
@@ -251,7 +254,8 @@ class OmniAVSR:
         task_specific = bool(cfg.llm.lora and cfg.llm.lora.task_specific)
         if cfg.fused_task_forward:
             return self._fused_train_losses(
-                params, a, v, text_emb, labels, task_specific, remat)
+                params, a, v, text_emb, labels, task_specific, remat,
+                pipeline=pipeline)
 
         losses = {}
         for i, m in enumerate(MODALITIES):
@@ -260,7 +264,7 @@ class OmniAVSR:
             lora_mod = m if task_specific else None
             total, count = llm_span_stats(
                 params["llm"], cfg.llm, embeds, lab, span,
-                modality=lora_mod, remat=remat,
+                modality=lora_mod, remat=remat, pipeline=pipeline,
             )
             loss = jnp.sum(total) / jnp.maximum(jnp.sum(count), 1)
             if cfg.matry_weights is not None:
@@ -269,7 +273,8 @@ class OmniAVSR:
         return losses
 
     def _fused_train_losses(
-        self, params, a, v, text_emb, labels, task_specific, remat
+        self, params, a, v, text_emb, labels, task_specific, remat,
+        pipeline: Optional[Any] = None,
     ) -> Dict[str, jax.Array]:
         """One LLM forward over the three tasks stacked on the batch axis.
 
@@ -301,7 +306,8 @@ class OmniAVSR:
         positions = jnp.broadcast_to(
             jnp.arange(T_max, dtype=jnp.int32)[None], (3 * B, T_max))
         x = llm_backbone(params["llm"], cfg.llm, stacked, positions, None,
-                         FUSED3 if task_specific else None, remat)
+                         FUSED3 if task_specific else None, remat,
+                         pipeline=pipeline)
         # each task's label-active span has the same width (the shared text
         # length) at a task-specific offset — slice per task block, then one
         # lm_head over the concatenated active rows (llm_span_stats, fused)
@@ -331,6 +337,7 @@ class OmniAVSR:
         audio_trim_len: Optional[int] = None,
         train_mode: bool = True,
         remat: bool = True,
+        pipeline: Optional[Any] = None,
     ) -> jax.Array:
         """Llama-AVSR baseline: one task per model
         (`Omni_AVSR/modeling_LlamaAVSR.py`). With matryoshka, the baseline
@@ -354,7 +361,8 @@ class OmniAVSR:
         embeds, lab, span = self._assemble_task(params, modality, tuple(parts), text_emb, labels)
         lora_mod = modality if (cfg.llm.lora and cfg.llm.lora.task_specific) else None
         total, count = llm_span_stats(
-            params["llm"], cfg.llm, embeds, lab, span, modality=lora_mod, remat=remat
+            params["llm"], cfg.llm, embeds, lab, span, modality=lora_mod,
+            remat=remat, pipeline=pipeline,
         )
         return jnp.sum(total) / jnp.maximum(jnp.sum(count), 1)
 

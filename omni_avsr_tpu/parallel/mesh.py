@@ -20,17 +20,27 @@ from ..config import MeshConfig
 
 AXIS_DP = "dp"
 AXIS_TP = "tp"
+AXIS_PP = "pp"
+AXIS_EP = "ep"
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a (dp, tp) mesh. With cfg=None, uses all devices as dp."""
+    """Build a (dp[, pp][, ep], tp) mesh. With cfg=None, uses all devices
+    as dp. The dp/tp axes always exist (partition specs reference them);
+    pp (pipeline stages, `parallel/pipeline.py`) and ep (MoE experts,
+    `models/moe.py`) axes appear only when their size is > 1."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if cfg is None:
         cfg = MeshConfig(dp=n, tp=1)
-    assert cfg.dp * cfg.tp == n, f"mesh {cfg.dp}x{cfg.tp} != {n} devices"
-    arr = np.asarray(devices).reshape(cfg.dp, cfg.tp)
-    return Mesh(arr, (AXIS_DP, AXIS_TP))
+    pp, ep = getattr(cfg, "pp", 1), getattr(cfg, "ep", 1)
+    total = cfg.dp * cfg.tp * pp * ep
+    assert total == n, f"mesh dp={cfg.dp} pp={pp} ep={ep} tp={cfg.tp} != {n} devices"
+    shape = [cfg.dp] + ([pp] if pp > 1 else []) + ([ep] if ep > 1 else []) + [cfg.tp]
+    names = ([AXIS_DP] + ([AXIS_PP] if pp > 1 else [])
+             + ([AXIS_EP] if ep > 1 else []) + [AXIS_TP])
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, tuple(names))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

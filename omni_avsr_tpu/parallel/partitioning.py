@@ -93,8 +93,19 @@ FSDP_EXTRA_RULES: List[Tuple[str, P]] = [
 ] + LLM_RULES
 
 
-def llm_partition_specs(params: Any, fsdp: bool = False) -> Any:
-    return _tree_specs(params, FSDP_EXTRA_RULES if fsdp else LLM_RULES)
+# Expert-parallel rules (MoE decoder, `models/moe.py`): stacked expert
+# weights (L, E, H, F) shard their expert dim over the ep mesh axis — the
+# dispatch/combine einsums become an XLA all_to_all. Router gate replicates.
+MOE_EP_RULES: List[Tuple[str, P]] = [
+    (r".*moe\.experts\.(gate|up|down)\.w$", P("ep", None, None)),
+]
+
+
+def llm_partition_specs(params: Any, fsdp: bool = False, ep: bool = False) -> Any:
+    rules = FSDP_EXTRA_RULES if fsdp else LLM_RULES
+    if ep:
+        rules = MOE_EP_RULES + rules
+    return _tree_specs(params, rules)
 
 
 def encoder_partition_specs(params: Any) -> Any:

@@ -23,6 +23,7 @@ Composes with dp: batch shards over `dp` while layers shard over `pp`
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Any, Optional
 
@@ -38,6 +39,21 @@ from ..ops.rope import rope_cos_sin
 AXIS_PP = "pp"
 
 Params = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelinePlan:
+    """Static pipeline configuration threaded into the training forward
+    (`models/llm.py::llm_backbone`): when set, the decoder layer stack runs
+    the GPipe schedule below INSIDE the jitted train step — loss, gradients
+    (exact, see module docstring) and the optimizer update all flow through
+    the pipelined backbone. Built by `cli/common.py::setup_parallelism` from
+    `--mesh-pp` / `--pp-microbatches`."""
+
+    mesh: Mesh
+    num_microbatches: int = 4
+    axis: str = AXIS_PP
+    dp_axis: Optional[str] = None
 
 
 def pipeline_layer_specs(layers: Params, axis: str = AXIS_PP) -> Params:

@@ -50,6 +50,8 @@ class OmniEngine:
         decode_snr_target: Optional[float] = None,
         seed: int = 42,
         inference_only: bool = False,
+        augment: bool = True,
+        pipeline=None,  # parallel.pipeline.PipelinePlan — GPipe the decoder
     ):
         self.model = model
         self.cfg = model.cfg
@@ -57,6 +59,15 @@ class OmniEngine:
         self.tok = model.tok
         self.noise_bank = jnp.asarray(noise_bank) if noise_bank is not None else None
         self.decode_snr_target = decode_snr_target
+        # augment=False trains on eval-mode features (center crop, no time
+        # masks/noise) — used by the WER-neutrality probe, which needs TRUE
+        # memorization so quantization noise is the only disturbance
+        self.augment = augment
+        # PipelinePlan: train/eval decoder forwards run the GPipe schedule
+        # over the plan's pp mesh axis (`parallel/pipeline.py`) inside the
+        # same jitted step — loss/grads/AdamW all flow through it. Decode
+        # keeps the KV-cache path (PP is a training-throughput axis).
+        self.pipeline = pipeline
         self._py_rng = random.Random(seed)
         # Dropout/augment bit generation: the default threefry2x32 runs as
         # plain VPU arithmetic (~5 ms/step of mask bits at B12, ledger r3);
@@ -120,6 +131,7 @@ class OmniEngine:
     def _preprocess(self, batch: Dict[str, jax.Array], rng: jax.Array, train: bool) -> Dict[str, jax.Array]:
         out = dict(batch)
         kv, ka = jax.random.split(rng)
+        train = train and self.augment
         if "video" in batch:
             out["video"] = video_pipeline(
                 kv, batch["video"], batch["video_len"], train=train
@@ -142,6 +154,7 @@ class OmniEngine:
             losses = model.train_losses(
                 params, proc, rate_a, rate_v, trim_len, train_mode=is_train,
                 dropout_rng=k_drop if is_train else None,
+                pipeline=self.pipeline,
             )
             total = (losses["audio"] + losses["video"] + losses["audiovisual"]) / 3.0
             return total, losses
@@ -186,7 +199,8 @@ class OmniEngine:
             total = 0.0
             for ra, rv in combos:
                 total = total + model.single_task_loss(
-                    params, proc, modality, ra, rv, trim_len, train_mode=is_train
+                    params, proc, modality, ra, rv, trim_len,
+                    train_mode=is_train, pipeline=self.pipeline,
                 )
             return total / len(combos)
 

@@ -57,7 +57,7 @@ def test_setup_parallelism_tp_mesh_and_feed():
                     lora=LoRAConfig(rank_divisor=8, v_out_divisor=2))
     params = {"llm": init_llm(jax.random.PRNGKey(0), cfg)}
     args = argparse.Namespace(mesh_tp=2, fsdp=False)
-    mesh, feed = setup_parallelism(args, params)
+    mesh, feed, _ = setup_parallelism(args, params)
     assert mesh is not None and dict(mesh.shape) == {"dp": 4, "tp": 2}
     # q out-features sharded over tp
     q = params["llm"]["layers"]["attn"]["q"]["w"]
@@ -83,7 +83,7 @@ def test_setup_parallelism_fsdp():
                     lora=LoRAConfig(rank_divisor=8, v_out_divisor=2))
     params = {"llm": init_llm(jax.random.PRNGKey(0), cfg)}
     args = argparse.Namespace(mesh_tp=2, fsdp=True)
-    mesh, _ = setup_parallelism(args, params)
+    mesh, _, _ = setup_parallelism(args, params)
     assert mesh is not None
     spec = str(params["llm"]["layers"]["attn"]["q"]["w"].sharding.spec)
     assert "dp" in spec and "tp" in spec
@@ -95,7 +95,7 @@ def test_setup_parallelism_identity_when_single():
     from omni_avsr_tpu.cli.common import setup_parallelism
 
     args = argparse.Namespace(mesh_tp=1, fsdp=False)
-    mesh, feed = setup_parallelism(args, {})
+    mesh, feed, _ = setup_parallelism(args, {})
     assert mesh is None
     sentinel = {"x": 1}
     assert feed(sentinel) is sentinel

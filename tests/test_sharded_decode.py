@@ -165,3 +165,61 @@ def test_indivisible_heads_fall_back_to_xla_route():
     assert not beam_attn_shardable(6, 3, mesh3)
     assert beam_attn_shardable(8, 4, mesh3)
     assert beam_attn_shardable(6, 3, None)
+
+
+def test_sharded_fused_select_exact():
+    """VERDICT r4 item 3: the fused beam SELECTION is shard_mapped over the
+    tp (vocab) axis — per-shard top-2K + stats, exact cross-shard merge.
+    Pins bit-equality of row max / top-k values / indices and ulp-closeness
+    of the lse against the single-device fused route, for BOTH the XLA and
+    the Pallas-stats-kernel (interpret-mode on CPU) shard bodies."""
+    import jax.numpy as jnp
+
+    from omni_avsr_tpu.decode.decoding import _fused_select_sharded, topk_chunked
+
+    mesh = _tp_mesh()
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 3, 512), jnp.float32)
+    k2 = 6
+
+    ref_mx = jnp.max(x, axis=-1, keepdims=True)
+    ref_lse = jnp.log(jnp.sum(jnp.exp(x - ref_mx), axis=-1, keepdims=True))
+    ref_vals, ref_vidx = topk_chunked(x, k2)
+
+    for use_kernel in (False, True):
+        mx, lse, vals, vidx = jax.jit(
+            lambda a, uk=use_kernel: _fused_select_sharded(a, k2, mesh, "tp", uk)
+        )(x)
+        np.testing.assert_array_equal(np.asarray(mx), np.asarray(ref_mx))
+        np.testing.assert_array_equal(np.asarray(vals), np.asarray(ref_vals))
+        np.testing.assert_array_equal(np.asarray(vidx), np.asarray(ref_vidx))
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_beam_loop_select_mesh_guard():
+    """Indivisible vocab (254 % 4 != 0) or absent tp axis must fall back to
+    the local selection route instead of crashing — pinned via a full beam
+    decode under a tp=4 mesh with the tiny 254-vocab model."""
+    import jax.numpy as jnp
+
+    from omni_avsr_tpu.config import LLMConfig
+    from omni_avsr_tpu.decode.decoding import beam_search
+    from omni_avsr_tpu.models import llm as L
+
+    cfg = LLMConfig(
+        vocab_size=254, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=16, lora=None,
+    )
+    params = L.init_llm(jax.random.PRNGKey(0), cfg)
+    prefix = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 64), jnp.float32)
+    plen = jnp.array([6, 6], jnp.int32)
+    expected = beam_search(
+        params, cfg, prefix, plen, num_beams=3, max_new=5,
+        eos_id=5, pad_id=0, cache_dtype=jnp.float32)
+    mesh4 = make_mesh(MeshConfig(dp=1, tp=4), devices=jax.devices()[:4])
+    with mesh4:
+        out = jax.jit(lambda p, e, l: beam_search(
+            p, cfg, e, l, num_beams=3, max_new=5,
+            eos_id=5, pad_id=0, cache_dtype=jnp.float32, attn_mesh=mesh4,
+        ))(params, prefix, plen)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(expected))

@@ -29,6 +29,10 @@ def test_verify_parity_modes_and_golden_clip(tmp_path):
         "--modes", "bf16,int8,bucket",
         "--golden-clip", clip,
         "--output-json", out_json,
+        # in-process run: skip the (default) reference profile so the env
+        # pins don't leak into other tests in this pytest process — the
+        # profile itself is covered by tests/test_profile.py
+        "--profile", "none",
         # everything after this goes to eval_omni (random tiny weights)
         "--synthetic", "2", "--exp-dir", str(tmp_path / "eval"),
         "--num-beams", "2", "--max-dec-tokens", "4",
