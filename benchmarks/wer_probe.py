@@ -89,6 +89,7 @@ def run_probe(
     tasks: Optional[Tuple[str, ...]] = None,  # None = all three
     splits: Tuple[str, ...] = ("trainmem", "test"),
     max_settings: Optional[int] = None,  # truncate the task x rate grid
+    max_settings_per_task: Optional[int] = None,  # e.g. 1 = one per task
 ) -> Dict:
     """Returns {"settings": {...}, "grid": {setting: {mode: {"wer", "agree",
     "hyps"}}}} — `agree` is token-for-token transcript agreement vs bf16."""
@@ -120,9 +121,15 @@ def run_probe(
             train_num_buckets=4, num_workers=2,
         )
 
-    # full_llm: LoRA-only training on RANDOM frozen towers plateaus at
-    # loss ~4.2 (measured on-chip, 250 epochs) — not enough expressivity to
-    # memorize; the probe needs fitted weights for quantization to disturb.
+    # full_llm + full_towers: LoRA-only training on RANDOM frozen towers
+    # plateaus at loss ~4.2 (measured on-chip r3); full_llm alone plateaus
+    # at CE ~= ln(n_clips)/tokens — the text memorizes but the model never
+    # learns WHICH clip it is looking at (frozen random features are too
+    # entangled for a 128-dim decoder to discriminate 32 ways; measured
+    # on-chip r5: loss 0.33, trainmem WER 1.18, decode emits the wrong
+    # clip's transcript). Trainable towers make the features discriminable
+    # AND make the probe stronger: quantize_decode_params quantizes the
+    # towers too, so their noise can now actually flip memorized outputs.
     # steps_per_epoch must be REAL so the cosine lr anneals within the run
     # (at constant 6e-3 the loss oscillates at ~0.5 and never memorizes).
     steps_per_epoch = max(n_clips // batch_size, 1)
@@ -132,7 +139,8 @@ def run_probe(
     engine = OmniEngine(model, params, TrainConfig(lr=lr, max_epochs=epochs),
                         float(steps_per_epoch), seed=seed,
                         unfrozen_modules=("peft_llm", "lora_avhubert",
-                                          "full_llm"), augment=False)
+                                          "full_llm", "full_towers"),
+                        augment=False)
     dm_train = DataModule(data_cfg(train_csv), model.tok, modality="audiovisual")
     for ep in range(epochs):
         losses = []
@@ -167,6 +175,14 @@ def run_probe(
     split_files = {"trainmem": train_csv, "test": test_csv}
     grid_settings = [g for g in rate_grid(model)
                      if tasks is None or g[0] in tasks]
+    if max_settings_per_task is not None:
+        seen: Dict[str, int] = {}
+        kept = []
+        for g in grid_settings:
+            if seen.get(g[0], 0) < max_settings_per_task:
+                kept.append(g)
+                seen[g[0]] = seen.get(g[0], 0) + 1
+        grid_settings = kept
     if max_settings is not None:
         grid_settings = grid_settings[:max_settings]
     for split_name in splits:

@@ -119,6 +119,10 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="balanced = BASE-style equal loads (no aux loss); "
                         "top1 = Switch-style capacity routing")
     p.add_argument("--moe-capacity-factor", type=float, default=1.25)
+    p.add_argument("--compilation-cache-dir", default=None,
+                   help="persistent XLA compile cache (or $OMNI_COMPILE_CACHE)"
+                        " — makes the static-shape program matrix a "
+                        "once-per-machine cost (benchmarks/compile_budget.py)")
     # offline smoke mode
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate N synthetic train clips and run offline with a tiny model")
@@ -264,7 +268,9 @@ def setup_distributed(args) -> bool:
     """Call FIRST in a train CLI main (before anything touches jax devices).
     Returns True when running multi-process."""
     from ..parallel.distributed import maybe_initialize_distributed
+    from ..utils.compile_cache import enable_persistent_cache
 
+    enable_persistent_cache(getattr(args, "compilation_cache_dir", None))
     return maybe_initialize_distributed(
         num_nodes=getattr(args, "num_nodes", 1),
         coordinator_address=getattr(args, "coordinator_address", None),

@@ -75,6 +75,9 @@ def rate_grid(args, model, task):
 
 def main(argv=None):
     args = parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache(getattr(args, "compilation_cache_dir", None))
     maybe_synthetic(args)
     os.makedirs(args.exp_dir, exist_ok=True)
 

@@ -71,7 +71,8 @@ def parse_args(argv=None):
                    help="stop after checkpoint conversion; print a tree summary")
     p.add_argument("--output-json", default="PARITY_RESULTS.json")
     p.add_argument("--modes", default="bf16",
-                   help="comma list of decode modes to grid: bf16,int8,bucket")
+                   help="comma list of decode modes to grid: "
+                        "bf16,int8,int4,bucket")
     p.add_argument("--golden-clip", default=None,
                    help="raw mp4 (e.g. video_example.mp4): preprocess + "
                         "transcribe per mode, recorded in the report")
@@ -100,6 +101,7 @@ def parse_args(argv=None):
 MODE_ARGV = {
     "bf16": [],
     "int8": ["--quantize-decode", "int8"],
+    "int4": ["--quantize-decode", "int4"],  # packed runtime, opt-in
     "bucket": ["--whisper-input-mode", "bucket"],
 }
 
@@ -140,7 +142,7 @@ def golden_transcripts(clip, audio_path, eval_argv, modes,
         t = Transcriber(model, params,
                         num_beams=model.cfg.num_beams,
                         max_new_tokens=model.cfg.max_dec_tokens,
-                        quantize="int8" if mode == "int8" else None)
+                        quantize=mode if mode in ("int8", "int4") else None)
         out[mode] = t.transcribe(video=video, audio=audio, modality=modality)
         print(f"golden-clip [{mode}, {modality}]: {out[mode]!r}")
     return {"modality": modality, "transcripts": out}

@@ -92,11 +92,18 @@ class OmniAVSR:
         def pred(path: str) -> bool:
             if path.startswith(("audio_proj", "video_proj")):
                 return True
-            # "full_llm": train the whole decoder — NOT a reference recipe
-            # (the paper trains LoRA only); used by benchmarks/wer_probe.py
-            # so a tiny RANDOM-tower model can reach the memorized regime
-            # its quantization study needs.
+            # "full_llm"/"full_towers": train the whole decoder / encoder
+            # towers — NOT reference recipes (the paper trains LoRA only);
+            # used by benchmarks/wer_probe.py so a tiny model can reach the
+            # memorized regime its quantization study needs. Measured (r5,
+            # on-chip): with FROZEN random towers the 32-clip probe
+            # plateaus at CE ~= ln(32)/tokens — text memorized, clip
+            # identity never linked to the AV features; trainable towers
+            # make the features discriminable and the probe actually fits.
             if "full_llm" in unfrozen_modules and path.startswith("llm."):
+                return True
+            if "full_towers" in unfrozen_modules and path.startswith(
+                    ("whisper.", "avhubert.")):
                 return True
             if "peft_llm" in unfrozen_modules and path.startswith("llm.") and ".lora" in path:
                 return True

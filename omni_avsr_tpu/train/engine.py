@@ -151,9 +151,13 @@ class OmniEngine:
         def loss_fn(params, batch, rng, rate_a, rate_v, trim_len):
             k_aug, k_drop = jax.random.split(rng)
             proc = self._preprocess(batch, k_aug, train=is_train)
+            # augment=False trains on the decode-time computation end to
+            # end: eval-mode BN (running stats) and no dropout, so the
+            # memorization probe's train/decode graphs are identical
+            mode = is_train and self.augment
             losses = model.train_losses(
-                params, proc, rate_a, rate_v, trim_len, train_mode=is_train,
-                dropout_rng=k_drop if is_train else None,
+                params, proc, rate_a, rate_v, trim_len, train_mode=mode,
+                dropout_rng=k_drop if mode else None,
                 pipeline=self.pipeline,
             )
             total = (losses["audio"] + losses["video"] + losses["audiovisual"]) / 3.0

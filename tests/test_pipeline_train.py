@@ -68,6 +68,7 @@ def test_pipelined_engine_train_matches_unpipelined():
     np.testing.assert_allclose(float(e_pp), float(e_ref), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_cli_accepts_parallelism_axes(monkeypatch):
     """parse_args + setup_parallelism: --mesh-pp 2 --mesh-tp 2 on the
     8-device platform builds a (dp=2, pp=2, tp=2) mesh, pp-shards the
@@ -113,6 +114,7 @@ def test_cli_accepts_parallelism_axes(monkeypatch):
         setup_parallelism(args_bad, dict(params))
 
 
+@pytest.mark.slow
 def test_moe_decoder_trains_and_ep_shards():
     """--moe-experts: decoder layers swap the dense MLP for the MoE FFN;
     a train step runs (full_llm so the experts actually receive grads) and

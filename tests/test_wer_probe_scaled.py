@@ -1,15 +1,20 @@
-"""Scaled WER-neutrality gate for the bench decode defaults (VERDICT r3 #4).
+"""Scaled WER-neutrality gate for the bench decode defaults (VERDICT r4 #1).
 
 Runs the same harness as `benchmarks/wer_probe.py` — a tiny Omni model
-TRAINED TO FIT its synthetic corpus (the memorized, contentful-token
-regime where quantization noise can actually flip tokens), decoded at the
-reference's beam-15 configuration (`Omni_AVSR/modeling_OmniAVSR.py:312-322`)
-— and asserts the two bench defaults (int8 weights, bucketed Whisper) are
-WER-neutral with high transcript agreement. int4-RTN rows are recorded by
-the benchmark, not gated here (int4 is an opt-in runtime, PARITY.md).
+TRAINED TO FIT its synthetic corpus (true memorization: regularisation off,
+eval-mode features end to end, trainable towers so clip identity is
+linkable; see the probe docstring for the r4 failure analysis) — decoded at
+the reference's beam-15 configuration (`Omni_AVSR/modeling_OmniAVSR.py:
+312-322`), and asserts the two bench defaults (int8 weights, bucketed
+Whisper) are WER-neutral with >= 0.9 transcript agreement on AT LEAST one
+setting of EVERY task (audio, video, audiovisual) — the r4 gate covered
+only two audiovisual settings. int4-RTN rows are recorded by the ledger
+benchmark (docs/wer_probe_r5.json), not gated here (int4 is an opt-in
+runtime, PARITY.md).
 
-CI-sized: fewer clips/settings than the ledger run (32 clips, full grid,
-docs/wer_probe_r4.json) but the same code path and decode settings.
+CI-sized: fewer clips than the ledger run (docs/wer_probe_r5.json: 32
+clips, 4 layers, full grid, both splits) but the same code path and decode
+settings.
 """
 
 import sys
@@ -23,20 +28,25 @@ def test_bench_default_modes_wer_neutral_at_beam15():
     from wer_probe import run_probe
 
     res = run_probe(
-        n_clips=10, n_test=4, epochs=300, num_beams=15, max_new=16,
-        llm_layers=2, batch_size=5, seed=0, target_loss=0.4,
-        tasks=("audiovisual",), splits=("trainmem",), max_settings=2,
+        n_clips=12, n_test=4, epochs=400, num_beams=15, max_new=16,
+        llm_layers=2, batch_size=6, seed=0, target_loss=0.05,
+        splits=("trainmem",), max_settings_per_task=1,
         verbose=False,
     )
+    # the probe is only meaningful FITTED — assert it, don't assume it
+    # (r4's recorded run silently trained into the garbage regime)
+    fitted = res["settings"]["final_loss"]
+    assert fitted <= 0.15, f"probe failed to memorize (loss {fitted:.3f})"
+
     grid = res["grid"]
-    assert grid, "empty probe grid"
-    fitted = res["settings"].get("final_loss")
+    tasks_seen = {k.split("/")[1].split("(")[0] for k in grid}
+    assert tasks_seen == {"audio", "video", "audiovisual"}, tasks_seen
     for key, cell in grid.items():
         bf16 = cell["bf16"]
-        # the probe is only meaningful fitted: memorized-split bf16 WER
-        # must be far below the garbage regime (~4.0 insertions-dominated)
-        assert bf16["wer"] < 0.6, (key, bf16["wer"], fitted)
+        # memorized-split bf16 WER decisively below the garbage regime
+        # (~1.0 insertions-dominated when unfitted)
+        assert bf16["wer"] < 0.2, (key, bf16["wer"], fitted)
         for mode in ("int8", "bucket"):
             m = cell[mode]
             assert m["wer"] <= bf16["wer"] + 0.10, (key, mode, m, bf16)
-            assert m["agree"] >= 0.5, (key, mode, m["agree"])
+            assert m["agree"] >= 0.9, (key, mode, m["agree"])
