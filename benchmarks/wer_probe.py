@@ -104,11 +104,17 @@ def run_probe(
     exp_dir = exp_dir or tempfile.mkdtemp(prefix="wer_probe_")
     data_dir = os.path.join(exp_dir, "synthetic_data")
     os.makedirs(data_dir, exist_ok=True)
-    # fixed clip length -> one static trim per task (bounds CPU compiles);
-    # 6-10 words -> contentful multi-token transcripts to disturb
+    # COMPOSITIONAL corpus: per-word audio/video signatures laid out over
+    # each word's time span (data/synthetic.py) — the transcript is locally
+    # decodable from the features, so CE can actually reach ~0. Whole-clip
+    # identity memorization does NOT fit (measured r5: the only training
+    # signal for "which clip" is ln(n_clips) nats at the first content
+    # token; CE pins at exactly ln(n)/tokens with trainable towers, aligned
+    # batches and clip-distinct content — an optimization pathology, not a
+    # bug). 8 words/clip -> fixed 48-frame clips -> one static trim per task.
     train_csv, val_csv, test_csv = generate_corpus(
         data_dir, n_train=n_clips, n_val=2, n_test=n_test,
-        min_frames=48, max_frames=48, min_words=6, max_words=10, seed=seed,
+        min_words=8, max_words=8, seed=seed, compositional=True,
     )
 
     model = build_probe_model(llm_layers)
@@ -135,8 +141,17 @@ def run_probe(
     steps_per_epoch = max(n_clips // batch_size, 1)
     # augment=False: train on the EXACT eval-mode features the decoder will
     # see (center crop, no time masks / noise) — with random crops + masks on,
-    # the mapping to memorize changes every step and the model never fits
-    engine = OmniEngine(model, params, TrainConfig(lr=lr, max_epochs=epochs),
+    # the mapping to memorize changes every step and the model never fits.
+    # weight_decay MUST be 0 for the same reason (measured on-chip r5: at
+    # the recipe's AdamW wd=0.1 the full-tower probe plateaus AT the
+    # non-discrimination floor ~0.44 and drifts UP late in the run — the
+    # decoupled decay shrinks every weight by lr*wd each step, erasing the
+    # fine clip-signature features as fast as they form). warmup stabilises
+    # the full-model (not LoRA-only) training at these lrs.
+    engine = OmniEngine(model, params,
+                        TrainConfig(lr=lr, max_epochs=epochs,
+                                    weight_decay=0.0,
+                                    warmup_epochs=max(epochs // 20, 1)),
                         float(steps_per_epoch), seed=seed,
                         unfrozen_modules=("peft_llm", "lora_avhubert",
                                           "full_llm", "full_towers"),

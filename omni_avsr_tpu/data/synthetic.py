@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 import wave
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -16,6 +16,82 @@ WORDS = (
     "the quick brown fox jumps over a lazy dog and runs far away "
     "hello world speech video model test data sample audio visual"
 ).split()
+
+
+# ------------------------------------------------------------------ per-word
+# signatures for the COMPOSITIONAL corpus: every vocabulary word gets a
+# deterministic audio signature (a tone pair) and a video signature (gray
+# level + gradient orientation + block position), laid out over that word's
+# time span in the clip. The word->feature mapping is LOCAL, so a small
+# model can actually learn it (like real AVSR) — unlike whole-clip identity
+# memorization, where the only training signal is a single ln(n_clips) nat
+# at the first token (measured r5: CE pins at exactly ln(n)/tokens and the
+# probe never fits, even with trainable towers and clip-distinct content).
+
+FRAMES_PER_WORD = 6  # 0.24 s per word at 25 fps; 3840 audio samples
+
+
+def _word_tones(w: int) -> Tuple[float, float]:
+    return 400.0 + 120.0 * w, 450.0 + 133.0 * w  # both < 4 kHz for 24 words
+
+
+_WORD_PATTERNS: Dict[Tuple[int, int], np.ndarray] = {}
+
+
+def _word_pattern(w: int, hw: int) -> np.ndarray:
+    """Deterministic per-word LUMINANCE pattern: a low-frequency random
+    field (6x6 i.i.d. -> bilinear to hw x hw). Low-freq fields survive mp4
+    compression + grayscale + center-crop, are ~maximally distinct across
+    words (independent draws), and are exactly what conv stems resolve.
+    Handcrafted gray-level/gradient/block signatures proved too weak: the
+    3-task probe's video CE never descended, and its noisy gradients
+    through the shared LLM kept the audio task from settling either
+    (measured r5 on-chip: joint loss pinned ~0.5 = 1.5*L_video/3)."""
+    key = (w, hw)
+    if key not in _WORD_PATTERNS:
+        rng = np.random.RandomState(7_000 + w)
+        small = rng.rand(6, 6)
+        xi = np.linspace(0.0, 5.0, hw)
+        i0 = np.floor(xi).astype(int)
+        i1 = np.minimum(i0 + 1, 5)
+        f = xi - i0
+        rows = small[i0] * (1 - f)[:, None] + small[i1] * f[:, None]
+        full = rows[:, i0] * (1 - f)[None] + rows[:, i1] * f[None]
+        lo, hi = full.min(), full.max()
+        _WORD_PATTERNS[key] = (full - lo) / max(hi - lo, 1e-9)  # [0, 1]
+    return _WORD_PATTERNS[key]
+
+
+def _synth_audio_words(
+    rng: np.random.RandomState, word_ids: List[int], sr: int = 16000
+) -> np.ndarray:
+    span = FRAMES_PER_WORD * 640
+    audio = np.zeros(span * len(word_ids), dtype=np.float64)
+    for i, w in enumerate(word_ids):
+        t = np.arange(span, dtype=np.float64) / sr
+        f1, f2 = _word_tones(w)
+        seg = 0.08 * np.sin(2 * np.pi * f1 * t + rng.uniform(0, 2 * np.pi))
+        seg += 0.06 * np.sin(2 * np.pi * f2 * t + rng.uniform(0, 2 * np.pi))
+        audio[i * span : (i + 1) * span] = seg
+    audio += rng.randn(len(audio)) * 0.01
+    return audio.astype(np.float32)
+
+
+def _synth_video_words(
+    rng: np.random.RandomState, word_ids: List[int], hw: int = 96
+) -> np.ndarray:
+    T = FRAMES_PER_WORD * len(word_ids)
+    frames = np.empty((T, hw, hw, 3), dtype=np.uint8)
+    for i, w in enumerate(word_ids):
+        pat = 40.0 + 180.0 * _word_pattern(w, hw)  # (hw, hw) luminance
+        for k in range(FRAMES_PER_WORD):
+            ti = i * FRAMES_PER_WORD + k
+            # small temporal modulation so the 3D stem sees in-word motion
+            mod = 1.0 + 0.10 * np.sin(2 * np.pi * k / FRAMES_PER_WORD + w)
+            img = np.repeat((pat * mod)[..., None], 3, axis=-1)
+            img += rng.randn(hw, hw, 3) * 4.0
+            frames[ti] = np.clip(img, 0, 255).astype(np.uint8)
+    return frames
 
 
 def _synth_audio(rng: np.random.RandomState, n: int, sr: int = 16000) -> np.ndarray:
@@ -98,8 +174,15 @@ def generate_corpus(
     min_words: int = 2,
     max_words: int = 5,
     seed: int = 0,
+    compositional: bool = False,
 ) -> Tuple[str, str, str]:
-    """Writes clips + manifests; returns (train_csv, val_csv, test_csv)."""
+    """Writes clips + manifests; returns (train_csv, val_csv, test_csv).
+
+    compositional=True: AV content is built word-by-word from the per-word
+    signature tables above (clip length = 6 frames x n_words; min_frames /
+    max_frames are ignored). The transcript is then LOCALLY decodable from
+    the features — the regime the WER-neutrality probe needs (CE -> ~0 and
+    an unseen split that is actually learnable)."""
     rng = np.random.RandomState(seed)
     ds = "synth"
     clip_dir = os.path.join(out_dir, ds)
@@ -108,23 +191,30 @@ def generate_corpus(
     def make_split(name: str, n: int) -> str:
         rows = []
         for i in range(n):
-            T = int(rng.randint(min_frames, max_frames + 1))
-            # STRUCTURED, clip-distinct content — not i.i.d. noise. Conv
-            # towers average white noise toward identical statistics (the
-            # spatial mean of 96x96 i.i.d. pixels is the same for every
-            # clip; the log-mel of white noise is flat), which made the
-            # clip->transcript link nearly unlearnable for the memorization
-            # probes (r5, measured: CE plateaus at ln(n_clips)/tokens).
-            # Sinusoid mixtures / oriented gradients give every clip a
-            # strong tower-visible signature while still exercising the
-            # full real pipeline.
-            frames = _synth_video(rng, T)
-            audio = _synth_audio(rng, T * 640)
+            n_words = int(rng.randint(min_words, max_words + 1))
+            if compositional:
+                word_ids = [int(rng.randint(len(WORDS))) for _ in range(n_words)]
+                text = " ".join(WORDS[w] for w in word_ids)
+                frames = _synth_video_words(rng, word_ids)
+                audio = _synth_audio_words(rng, word_ids)
+                T = frames.shape[0]
+            else:
+                # STRUCTURED, clip-distinct content — not i.i.d. noise. Conv
+                # towers average white noise toward identical statistics (the
+                # spatial mean of 96x96 i.i.d. pixels is the same for every
+                # clip; the log-mel of white noise is flat), which made the
+                # clip->transcript link nearly unlearnable for the
+                # memorization probes (r5, measured: CE plateaus at
+                # ln(n_clips)/tokens). Sinusoid mixtures / oriented gradients
+                # give every clip a strong tower-visible signature while
+                # still exercising the full real pipeline.
+                T = int(rng.randint(min_frames, max_frames + 1))
+                frames = _synth_video(rng, T)
+                audio = _synth_audio(rng, T * 640)
+                text = " ".join(rng.choice(WORDS) for _ in range(n_words))
             base = f"{name}_{i:04d}"
             video_path = _write_video(os.path.join(clip_dir, base + ".mp4"), frames)
             _write_wav(os.path.join(clip_dir, base + ".wav"), audio)
-            n_words = int(rng.randint(min_words, max_words + 1))
-            text = " ".join(rng.choice(WORDS) for _ in range(n_words))
             rel = os.path.basename(video_path)
             rows.append(f"{ds},{rel},{T},0,{text}")
         csv_path = os.path.join(out_dir, f"{name}.csv")
