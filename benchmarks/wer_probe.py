@@ -164,6 +164,13 @@ def run_probe(
         mean_loss = sum(losses) / max(len(losses), 1)
         if verbose and (ep + 1) % 4 == 0:
             print(f"epoch {ep + 1}/{epochs} loss={mean_loss:.3f}", flush=True)
+        if verbose and (ep + 1) % 40 == 0:
+            # per-task CE on one batch — the aggregate hides which task lags
+            for b in dm_train.train_batches(0):
+                _, per = engine.eval_step(dict(b))
+                print("  per-task: " + " ".join(
+                    f"{k}={float(v):.3f}" for k, v in per.items()), flush=True)
+                break
         # the probe is only meaningful in the MEMORIZED regime (contentful
         # transcripts a quantizer can actually disturb) — stop when fitted
         if mean_loss < target_loss:
@@ -171,6 +178,23 @@ def run_probe(
                 print(f"fitted at epoch {ep + 1} (loss {mean_loss:.3f})",
                       flush=True)
             break
+
+    if mean_loss > max(10 * target_loss, 0.2):
+        # unfitted probes are uninterpretable (r4's recorded artifact; r5
+        # measured: decode emits deterministic word salad) — don't burn the
+        # decode grid, return the training evidence for diagnosis
+        print(f"UNFITTED (loss {mean_loss:.3f} after {ep + 1} epochs) — "
+              "skipping the decode grid", flush=True)
+        return {
+            "settings": {
+                "n_clips": n_clips, "n_test": n_test, "epochs": epochs,
+                "num_beams": num_beams, "max_new": max_new,
+                "llm_layers": llm_layers, "seed": seed,
+                "final_loss": mean_loss, "epochs_run": ep + 1,
+                "unfitted": True,
+            },
+            "grid": {},
+        }
 
     merged = engine.merged_params()
     trees = {
@@ -250,12 +274,13 @@ def main(argv=None):
     p.add_argument("--beams", type=int, default=15)
     p.add_argument("--max-new", type=int, default=32)
     p.add_argument("--llm-layers", type=int, default=4)
+    p.add_argument("--lr", type=float, default=6e-3)
     p.add_argument("--output-json", default=None)
     args = p.parse_args(argv)
     res = run_probe(n_clips=args.clips, n_test=args.test_clips,
                     epochs=args.epochs, num_beams=args.beams,
                     max_new=args.max_new, llm_layers=args.llm_layers,
-                    target_loss=args.target_loss)
+                    lr=args.lr, target_loss=args.target_loss)
     if args.output_json:
         slim = {k: {m: {kk: vv for kk, vv in c[m].items() if kk != "hyps"}
                     for m in c} for k, c in res["grid"].items()}

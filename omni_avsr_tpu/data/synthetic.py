@@ -20,13 +20,26 @@ WORDS = (
 
 # ------------------------------------------------------------------ per-word
 # signatures for the COMPOSITIONAL corpus: every vocabulary word gets a
-# deterministic audio signature (a tone pair) and a video signature (gray
-# level + gradient orientation + block position), laid out over that word's
-# time span in the clip. The word->feature mapping is LOCAL, so a small
-# model can actually learn it (like real AVSR) — unlike whole-clip identity
+# deterministic audio signature (a tone pair) and a video signature (a
+# low-frequency luminance field), laid out over that word's time span in
+# the clip. The word->feature mapping is LOCAL, so a small model can
+# actually learn it (like real AVSR) — unlike whole-clip identity
 # memorization, where the only training signal is a single ln(n_clips) nat
 # at the first token (measured r5: CE pins at exactly ln(n)/tokens and the
 # probe never fits, even with trainable towers and clip-distinct content).
+#
+# Transcripts are PER-POSITION BINARY CODES: position i of every clip is
+# one of the same TWO alternative words (WORDS[2i] / WORDS[2i+1]), chosen
+# by bit i of a per-clip code, and codes are distinct across clips AND
+# splits. This makes teacher-forced PREFIX memorization useless: any
+# prefix is shared by many clips, so the next word is 50/50 from text
+# alone (CE floor ln2 per word) and reaching CE ~ 0 REQUIRES reading the
+# features at every position. Measured r5 on-chip without this: with
+# i.i.d. random word sequences the joint 3-task probe learned the prefix
+# shortcut instead (identify the clip from the first 1-2 gold words, then
+# recite — CE plateaued at ~(ln N + ln V)/tokens ~ 0.47 and the no-prefix
+# decode emitted deterministic word salad, trainmem WER 0.9 on every
+# task/mode with agree=1.0).
 
 FRAMES_PER_WORD = 6  # 0.24 s per word at 25 fps; 3840 audio samples
 
@@ -180,20 +193,36 @@ def generate_corpus(
 
     compositional=True: AV content is built word-by-word from the per-word
     signature tables above (clip length = 6 frames x n_words; min_frames /
-    max_frames are ignored). The transcript is then LOCALLY decodable from
-    the features — the regime the WER-neutrality probe needs (CE -> ~0 and
-    an unseen split that is actually learnable)."""
+    max_frames are ignored), and transcripts are per-position binary codes
+    (see module comment) so prefix memorization cannot beat feature
+    reading. The transcript is then LOCALLY decodable from the features —
+    the regime the WER-neutrality probe needs (CE -> ~0 and an unseen
+    split that is actually learnable: unseen codes are new combinations of
+    seen per-position words)."""
     rng = np.random.RandomState(seed)
     ds = "synth"
     clip_dir = os.path.join(out_dir, ds)
     os.makedirs(clip_dir, exist_ok=True)
+
+    used_codes: set = set()
+
+    def draw_code(n_words: int) -> List[int]:
+        """Distinct-per-corpus binary code -> word ids (bit i of the code
+        selects WORDS[2i] vs WORDS[2i+1]; needs 2*n_words <= len(WORDS))."""
+        assert 2 * n_words <= len(WORDS), "vocab too small for code corpus"
+        for _ in range(10_000):
+            code = int(rng.randint(0, 2 ** n_words))
+            if code not in used_codes:
+                used_codes.add(code)
+                return [2 * i + ((code >> i) & 1) for i in range(n_words)]
+        raise ValueError("code space exhausted: reduce clips or raise words")
 
     def make_split(name: str, n: int) -> str:
         rows = []
         for i in range(n):
             n_words = int(rng.randint(min_words, max_words + 1))
             if compositional:
-                word_ids = [int(rng.randint(len(WORDS))) for _ in range(n_words)]
+                word_ids = draw_code(n_words)
                 text = " ".join(WORDS[w] for w in word_ids)
                 frames = _synth_video_words(rng, word_ids)
                 audio = _synth_audio_words(rng, word_ids)
